@@ -1,0 +1,235 @@
+"""Ultralytics-compatible Predictor: ``YOLO(weights).predict(...)`` on TPU.
+
+Contract (SURVEY.md §2.2 row 1, §3.4): accepts ndarray / PIL / path sources, kwargs
+``conf``, ``iou``, ``retina_masks``, ``imgsz``, ``device``; returns a list of
+``Results`` with ``.boxes`` / ``.masks`` in original-image coordinates.
+
+TPU-native restructure (SURVEY.md §7 guiding restructure): the whole per-frame chain
+— letterbox → normalize → backbone/neck/head → NMS-free top-k (v10) or NMS (v8/v11)
+→ proto-mask decode → unpad/resize to native resolution — is ONE jitted XLA program
+per input geometry.  The host only decodes frames and (lazily) extracts polygons.
+Batched calls amortize compile and keep the MXU fed; a compiled-program cache keyed
+on (batch, H, W, imgsz) makes repeat-geometry calls zero-overhead.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_puncture_tpu.models.yolo import YOLOModel
+from yolo_puncture_tpu.ops.letterbox import letterbox, letterbox_params
+from yolo_puncture_tpu.ops.masks import decode_masks, paste_masks_to_original
+from yolo_puncture_tpu.ops.nms import select_detections
+from yolo_puncture_tpu.predict.results import Boxes, Masks, Results
+
+_NAME_RE = re.compile(r"yolo(?:v)?(\d+)([nsmblx])(-seg)?", re.IGNORECASE)
+
+
+def parse_model_name(name: str) -> Tuple[str, str, str]:
+    """'seg/yolo11n-seg-finetune.pt' → ('v11', 'n', 'segment')."""
+    base = os.path.basename(str(name))
+    m = _NAME_RE.search(base)
+    if not m:
+        raise ValueError(f"cannot parse model name from '{name}'")
+    version = f"v{m.group(1)}"
+    if version not in ("v8", "v10", "v11"):
+        raise ValueError(f"unsupported YOLO version '{version}' in '{name}'")
+    task = "segment" if (m.group(3) or "seg" in base.lower()) else "detect"
+    return version, m.group(2).lower(), task
+
+
+class YOLO:
+    """Drop-in predictor for the reference's ``YOLO(weights)`` usage.
+
+    weights: a registry-style name ('yolo10s-seg'), a torch checkpoint path ('*.pt',
+    converted via utils/torch_convert), or an orbax/msgpack params file.  Missing
+    files fall back to random init (useful for shape/perf work without weights).
+    """
+
+    def __init__(
+        self,
+        weights: str = "yolo10s-seg",
+        nc: int = 1,
+        names: Optional[dict] = None,
+        dtype: Any = jnp.float32,
+        max_det: int = 300,
+        max_masks: int = 32,
+        seed: int = 0,
+    ):
+        self.weights_path = str(weights)
+        version, scale, task = parse_model_name(self.weights_path)
+        self.version, self.scale, self.task = version, scale, task
+        self.nc = nc
+        self.names = names or {i: f"class{i}" for i in range(nc)}
+        self.max_det = max_det
+        self.max_masks = max_masks
+        self.model = YOLOModel(version=version, scale=scale, nc=nc, task=task, dtype=dtype)
+        self.variables = self._load_variables(seed)
+        self._compiled: Dict[Tuple, Any] = {}
+
+    # -- weights ------------------------------------------------------------
+
+    def _load_variables(self, seed: int):
+        path = self.weights_path
+        if os.path.exists(path):
+            if path.endswith(".pt") or path.endswith(".pth"):
+                from yolo_puncture_tpu.utils.torch_convert import load_ultralytics_checkpoint
+
+                return load_ultralytics_checkpoint(path, self.model)
+            if path.endswith(".msgpack"):
+                from flax import serialization
+
+                with open(path, "rb") as f:
+                    template = self._random_init(seed)
+                    return serialization.from_bytes(template, f.read())
+        return self._random_init(seed)
+
+    def _random_init(self, seed: int):
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        return self.model.init(jax.random.PRNGKey(seed), x)
+
+    # -- device pipeline ----------------------------------------------------
+
+    def _pipeline(self, orig_hw: Tuple[int, int], imgsz: int, retina: bool):
+        """Build (and cache) the fused device function for one input geometry."""
+        key = (orig_hw, imgsz, retina)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        h0, w0 = orig_hw
+        nms_free = self.version == "v10"
+        model = self.model
+        max_det, max_masks = self.max_det, self.max_masks
+        task = self.task
+
+        @functools.partial(jax.jit, static_argnums=())
+        def run(variables, frames_u8, conf, iou):
+            # BGR (cv2 convention, reference passes cv2 frames) → RGB on device
+            frames = frames_u8[..., ::-1]
+            imgs, r, pad = letterbox(frames, imgsz, dtype=model.dtype)
+            out = model.apply(variables, imgs)
+            det = select_detections(
+                out, nms_free=nms_free, conf_thres=conf, iou_thres=iou, max_det=max_det
+            )
+            result = {
+                "boxes_lb": det["boxes"],
+                "scores": det["scores"],
+                "classes": det["classes"],
+                "count": det["count"],
+                "valid": det["valid"],
+            }
+            # rescale boxes to original frame coords on device
+            left, top = pad
+            shift = jnp.array([left, top, left, top], jnp.float32)
+            lim = jnp.array([w0, h0, w0, h0], jnp.float32)
+            result["boxes"] = jnp.clip((det["boxes"] - shift) / r, 0, lim) * det[
+                "valid"
+            ][..., None]
+            if task == "segment":
+                coeffs = det["coeffs"][:, :max_masks]
+                mboxes = det["boxes"][:, :max_masks]
+                masks_lb = decode_masks(
+                    out["proto"], coeffs, mboxes, (imgsz, imgsz),
+                    upsample=retina, threshold=None,
+                )
+                masks = paste_masks_to_original(masks_lb, r, pad, (h0, w0))
+                result["masks"] = (masks > 0.5).astype(jnp.uint8)
+            return result
+
+        self._compiled[key] = run
+        return run
+
+    # -- source normalization ----------------------------------------------
+
+    @staticmethod
+    def _to_frames(source) -> Tuple[List[np.ndarray], List[str]]:
+        """Normalize source(s) to BGR uint8 HWC frames (ultralytics convention)."""
+
+        def one(s):
+            if isinstance(s, str):
+                import cv2
+
+                img = cv2.imread(s)
+                if img is None:
+                    raise FileNotFoundError(s)
+                return img, s
+            if hasattr(s, "convert"):  # PIL → RGB → BGR
+                return np.asarray(s.convert("RGB"))[..., ::-1].copy(), ""
+            arr = np.asarray(s)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            return arr.astype(np.uint8), ""
+
+        if isinstance(source, (list, tuple)):
+            frames, paths = zip(*[one(s) for s in source])
+            return list(frames), list(paths)
+        if isinstance(source, np.ndarray) and source.ndim == 4:
+            return list(source.astype(np.uint8)), [""] * len(source)
+        f, p = one(source)
+        return [f], [p]
+
+    # -- public API ---------------------------------------------------------
+
+    def predict(
+        self,
+        source=None,
+        conf: float = 0.25,
+        iou: float = 0.7,
+        imgsz: int = 640,
+        retina_masks: bool = False,
+        device=None,  # accepted for API parity; placement is managed by JAX
+        verbose: bool = False,
+        **kwargs,
+    ) -> List[Results]:
+        frames, paths = self._to_frames(source)
+        results: List[Results] = []
+        # group consecutive same-shape frames into device batches
+        i = 0
+        while i < len(frames):
+            j = i
+            shape = frames[i].shape
+            while j < len(frames) and frames[j].shape == shape:
+                j += 1
+            batch = np.stack(frames[i:j])
+            results.extend(
+                self._predict_batch(batch, paths[i:j], conf, iou, imgsz, retina_masks)
+            )
+            i = j
+        return results
+
+    __call__ = predict
+
+    def _predict_batch(self, batch, paths, conf, iou, imgsz, retina):
+        B, h0, w0, _ = batch.shape
+        run = self._pipeline((h0, w0), imgsz, retina)
+        out = run(
+            self.variables,
+            jnp.asarray(batch),
+            jnp.float32(conf),
+            jnp.float32(iou),
+        )
+        out = jax.device_get(out)
+        results = []
+        for b in range(B):
+            n = int(out["count"][b])
+            boxes = Boxes(
+                out["boxes"][b][:n], out["scores"][b][:n], out["classes"][b][:n], (h0, w0)
+            )
+            masks = None
+            if "masks" in out:
+                nm = min(n, self.max_masks)
+                masks = Masks(out["masks"][b][:nm], (h0, w0))
+            results.append(
+                Results(batch[b], boxes, masks, names=self.names, path=paths[b])
+            )
+        return results
+
+    def to(self, device):  # API parity no-op
+        return self
