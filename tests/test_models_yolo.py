@@ -32,8 +32,13 @@ def init_model(name, nc=80, img=128):
     ],
 )
 def test_param_counts(name, lo, hi):
-    model, variables, _ = init_model(name)
-    n = n_params(variables["params"])
+    # eval_shape: param shapes without any compute/compile
+    from yolo_puncture_tpu import create_model as cm
+
+    model = cm(name, nc=80)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    n = n_params(shapes["params"])
     assert lo < n < hi, f"{name}: {n} params outside [{lo}, {hi}]"
 
 

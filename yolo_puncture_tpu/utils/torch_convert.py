@@ -1,0 +1,302 @@
+"""Torch-checkpoint → flax-pytree converters.
+
+The reference loads four torch formats (SURVEY.md §5.4): ultralytics ``.pt``
+(yolo_seg/app.py:45), raw ``state_dict`` ``.pth`` (unet_segment.py:40-44), timm
+``.pth.tar`` (needle_clasify.py:45-56), and torch-hub ``.pth.tar`` with
+head-stripping (van.py:277-288).  This module converts all of them into this
+framework's NHWC flax variables.
+
+Torch is CPU-only here and used purely as a file reader; all compute stays in JAX.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Loading torch files without the original class definitions
+# ---------------------------------------------------------------------------
+
+class _Stub:
+    """Placeholder for unpicklable classes (e.g. ultralytics model wrappers)."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+    def __call__(self, *a, **k):  # some reduces call the class
+        return self
+
+
+def _stub_class(module: str, name: str):
+    return type(name, (_Stub,), {"__module__": module})
+
+
+def load_torch_file(path: str):
+    """torch.load with missing classes stubbed out."""
+    import torch
+    import torch.serialization
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        pass
+
+    class StubUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return _stub_class(module, name)
+
+    return torch.load(
+        path,
+        map_location="cpu",
+        weights_only=False,
+        pickle_module=type(
+            "M", (), {"Unpickler": StubUnpickler, "load": pickle.load}
+        ),
+    )
+
+
+def _walk_module_tree(obj, prefix: str, out: Dict[str, np.ndarray]):
+    """Extract parameters/buffers from a (possibly stubbed) nn.Module pickle tree."""
+    d = getattr(obj, "__dict__", None)
+    if d is None:
+        return
+    for coll in ("_parameters", "_buffers"):
+        for k, v in (d.get(coll) or {}).items():
+            if v is not None and hasattr(v, "detach"):
+                out[prefix + k] = v.detach().cpu().numpy()
+    for k, v in (d.get("_modules") or {}).items():
+        _walk_module_tree(v, f"{prefix}{k}.", out)
+
+
+def extract_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Best-effort flat ``name → ndarray`` from any of the four torch formats."""
+    obj = load_torch_file(path)
+
+    def tensors_of(d):
+        return {
+            k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+            for k, v in d.items()
+            if hasattr(v, "detach") or isinstance(v, np.ndarray)
+        }
+
+    if isinstance(obj, dict):
+        for key in ("state_dict", "model_state_dict", "ema", "model"):
+            if key in obj:
+                inner = obj[key]
+                if isinstance(inner, dict):
+                    sd = tensors_of(inner)
+                    if sd:
+                        return sd
+                elif hasattr(inner, "state_dict"):
+                    try:
+                        return tensors_of(inner.state_dict())
+                    except Exception:
+                        pass
+                # stubbed module tree
+                out: Dict[str, np.ndarray] = {}
+                _walk_module_tree(inner, "", out)
+                if out:
+                    return out
+        sd = tensors_of(obj)
+        if sd:
+            return sd
+    out = {}
+    _walk_module_tree(obj, "", out)
+    if out:
+        return out
+    raise ValueError(f"could not extract a state dict from {path}")
+
+
+# ---------------------------------------------------------------------------
+# Tensor layout conversion
+# ---------------------------------------------------------------------------
+
+def convert_tensor(torch_key: str, arr: np.ndarray, target_shape) -> np.ndarray:
+    """Transpose a torch tensor to the flax layout expected at the target leaf."""
+    a = np.asarray(arr)
+    ts = tuple(target_shape)
+    if a.shape == ts:
+        return a
+    if a.ndim == 4:
+        if "upsample" in torch_key:
+            # ConvTranspose2d (I, O, kh, kw) → flax (kh, kw, I, O), spatially
+            # flipped (flax ConvTranspose cross-correlates the dilated input;
+            # torch convolves — verified in test_conv_transpose_matches_torch)
+            t = a.transpose(2, 3, 0, 1)[::-1, ::-1]
+            if t.shape == ts:
+                return np.ascontiguousarray(t)
+        t = a.transpose(2, 3, 1, 0)  # Conv2d (O, I/g, kh, kw) → (kh, kw, I/g, O)
+        if t.shape == ts:
+            return t
+    if a.ndim == 2:
+        t = a.T  # Linear (O, I) → (I, O)
+        if t.shape == ts:
+            return t
+    raise ValueError(
+        f"{torch_key}: cannot convert shape {a.shape} → {ts}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# YOLO key mapping
+# ---------------------------------------------------------------------------
+
+_HEAD_NESTED = re.compile(r"(one2one_)?cv([234])\.(\d+)\.(\d+)\.(\d+)\.(conv|bn)\.")
+_HEAD_FLAT = re.compile(r"(one2one_)?cv([234])\.(\d+)\.(\d+)\.(conv|bn)\.")
+_HEAD_FINAL = re.compile(r"(one2one_)?cv([234])\.(\d+)\.(\d+)\.(weight|bias)$")
+_CIB_SEQ = re.compile(r"cv1\.(\d+)\.(conv|bn)\.")
+_M_IDX = re.compile(r"(?:^|(?<=\.))m\.(\d+)\.")
+_FFN_IDX = re.compile(r"ffn\.(\d+)\.")
+_MODEL_IDX = re.compile(r"^model\.(\d+)\.")
+
+
+def map_yolo_key(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
+    """Map an ultralytics state-dict key to (flax module path, leaf kind).
+
+    leaf kinds: 'kernel' (conv/linear weight), 'bias', 'scale' (bn weight),
+    'bn_bias', 'mean', 'var', None (skip, e.g. DFL fixed weights).
+    """
+    k = key
+    if k.endswith("num_batches_tracked"):
+        return None
+    if ".dfl." in k:
+        return None  # DFL is parameter-free here (fixed arange projection)
+    k = _MODEL_IDX.sub(lambda m: f"model_{m.group(1)}.", k)
+    k = _M_IDX.sub(lambda m: f"m_{m.group(1)}.", k)
+    k = _HEAD_NESTED.sub(
+        lambda m: f"{m.group(1) or ''}cv{m.group(2)}_{m.group(3)}.c{m.group(4)}_{m.group(5)}.{m.group(6)}.",
+        k,
+    )
+    k = _HEAD_FLAT.sub(
+        lambda m: f"{m.group(1) or ''}cv{m.group(2)}_{m.group(3)}.c{m.group(4)}.{m.group(5)}.",
+        k,
+    )
+    k = _HEAD_FINAL.sub(
+        lambda m: f"{m.group(1) or ''}cv{m.group(2)}_{m.group(3)}.c{m.group(4)}.{m.group(5)}",
+        k,
+    )
+    k = _CIB_SEQ.sub(lambda m: f"cv1_{m.group(1)}.{m.group(2)}.", k)
+    k = _FFN_IDX.sub(lambda m: f"ffn_{m.group(1)}.", k)
+
+    parts = k.split(".")
+    leaf = parts[-1]
+    path = parts[:-1]
+    if len(path) >= 1 and path[-1] == "bn":
+        kind = {
+            "weight": "scale",
+            "bias": "bn_bias",
+            "running_mean": "mean",
+            "running_var": "var",
+        }.get(leaf)
+        if kind is None:
+            return None
+        return tuple(path), kind
+    if leaf == "weight":
+        return tuple(path), "kernel"
+    if leaf == "bias":
+        return tuple(path), "bias"
+    return None
+
+
+def _flatten(tree, prefix=()) -> Dict[Tuple[str, ...], Any]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> dict:
+    tree: dict = {}
+    for path, v in flat.items():
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = v
+    return tree
+
+
+def convert_yolo_state_dict(
+    sd: Dict[str, np.ndarray], template_variables, strict: bool = False
+):
+    """Fill a flax variables template from an ultralytics state dict.
+
+    Returns (variables, report) where report lists unmatched torch keys and
+    unfilled flax leaves.
+    """
+    import jax
+
+    params_flat = _flatten(dict(template_variables["params"]))
+    stats_flat = _flatten(dict(template_variables.get("batch_stats", {})))
+    new_params = dict(params_flat)
+    new_stats = dict(stats_flat)
+    unmatched, filled = [], set()
+
+    for tkey, arr in sd.items():
+        mapped = map_yolo_key(tkey)
+        if mapped is None:
+            continue
+        path, kind = mapped
+        if kind in ("kernel", "bias", "scale", "bn_bias"):
+            leaf = {"kernel": "kernel", "bias": "bias", "scale": "scale", "bn_bias": "bias"}[kind]
+            target = path + (leaf,)
+            store = new_params
+            tmpl = params_flat
+        else:
+            target = path + (kind,)
+            store = new_stats
+            tmpl = stats_flat
+        if target not in tmpl:
+            unmatched.append(tkey)
+            continue
+        store[target] = convert_tensor(tkey, arr, tmpl[target].shape).astype(
+            np.asarray(tmpl[target]).dtype
+        )
+        filled.add(("params" if store is new_params else "stats", target))
+
+    unfilled = [p for p in params_flat if ("params", p) not in filled] + [
+        p for p in stats_flat if ("stats", p) not in filled
+    ]
+    report = {"unmatched_torch_keys": unmatched, "unfilled_flax_leaves": unfilled}
+    if strict and (unmatched or unfilled):
+        raise ValueError(f"conversion mismatch: {report}")
+    variables = {"params": _unflatten(new_params)}
+    if stats_flat:
+        variables["batch_stats"] = _unflatten(new_stats)
+    return jax.tree.map(lambda x: x, variables), report
+
+
+def load_ultralytics_checkpoint(path: str, model, strict: bool = False):
+    """End-to-end: torch .pt/.pth file → flax variables for ``model`` (YOLOModel)."""
+    import jax
+    import jax.numpy as jnp
+
+    sd = extract_state_dict(path)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    variables, report = convert_yolo_state_dict(sd, template, strict=strict)
+    n_bad = len(report["unmatched_torch_keys"]) + len(report["unfilled_flax_leaves"])
+    if n_bad:
+        import warnings
+
+        warnings.warn(
+            f"{path}: {len(report['unmatched_torch_keys'])} torch keys unmatched, "
+            f"{len(report['unfilled_flax_leaves'])} flax leaves left at init"
+        )
+    return variables
