@@ -65,10 +65,13 @@ def insertion_state_machine(
             pixel_len_arr.append(rect_len)
         if len(pixel_len_arr) == 0:
             continue  # auto_speed_calc.py:110-111 guard
+        mean_len = sum(pixel_len_arr) / len(pixel_len_arr)
+        # zero-length calibration (all-dropout video) → reference raises
+        # ZeroDivisionError; treat as uncalibratable instead
         actual_len = (
             init_shaft_len
-            if cls == 0
-            else init_shaft_len * rect_len / (sum(pixel_len_arr) / len(pixel_len_arr))
+            if (cls == 0 or mean_len <= 0)
+            else init_shaft_len * rect_len / mean_len
         )
         actual_lens[idx] = actual_len
 
@@ -133,7 +136,11 @@ def insertion_state_machine_jax(
         mean = jnp.where(
             have, jnp.sum(buf * (jnp.arange(K) < count)) / jnp.maximum(count, 1), 1.0
         )
-        actual_len = jnp.where(cls == 0, init_shaft_len, init_shaft_len * rect_len / mean)
+        actual_len = jnp.where(
+            (cls == 0) | (mean <= 0),
+            init_shaft_len,
+            init_shaft_len * rect_len / jnp.where(mean <= 0, 1.0, mean),
+        )
         actual_out = jnp.where(have, actual_len, jnp.nan)
 
         inserted = jnp.where((idx == start) & have, True, inserted)

@@ -1,0 +1,7 @@
+from yolo_puncture_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    param_shardings,
+    data_parallel_step,
+)

@@ -1,0 +1,283 @@
+"""Fused batched video pipeline: the TPU restructure of the reference's per-frame
+loops (SURVEY.md §7 guiding restructure; replaces yolo_seg/app.py:85-191 /
+dev_tools/auto_speed_calc.py:56-122 three-pass host loops).
+
+ONE jitted program per frame batch runs: letterbox → YOLO seg forward → best-box
+selection → proto-mask decode of the best instance → 380² crop around the box →
+EfficientNet insertion classifier.  Host work is reduced to: video decode, the
+sequential last-box fallback (app.py:106-112 contract), polygon extraction +
+min-area-rect on the per-frame best mask, key-frame voting, smoothing, and the
+insertion state machine — all O(frames) scalar work.
+
+Parallel scaling: `device_batch` frames per step on one chip; multi-chip scaling
+shards the frame batch over a data mesh (parallel/mesh.py) and multi-video batches
+across chips (BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_puncture_tpu.analytics.keyframe import find_insert_start, fix_class_prob
+from yolo_puncture_tpu.analytics.speed import SpeedResult, insertion_state_machine
+from yolo_puncture_tpu.models.efficientnet import preprocess_classifier
+from yolo_puncture_tpu.ops.geometry import mask_to_polygons, min_rect_len
+from yolo_puncture_tpu.ops.letterbox import letterbox
+from yolo_puncture_tpu.ops.masks import decode_masks
+from yolo_puncture_tpu.ops.nms import select_detections
+from yolo_puncture_tpu.ops.signal import gaussian_smoothing
+from yolo_puncture_tpu.predict.predictor import YOLO
+
+
+@dataclasses.dataclass
+class PipelineOutput:
+    start_frame: Optional[int]
+    end_frame: Optional[int]
+    speed_mm_s: Optional[float]
+    lens: List[float]              # per-frame min-rect pixel length (orig coords)
+    classes: List[int]
+    probs: List[float]
+    boxes: List[Tuple[int, int, int, int]]
+    detected: List[bool]
+    fps: float
+
+
+class VideoSpeedPipeline:
+    """End-to-end needle-speed analysis (auto_speed_calc semantics, batched)."""
+
+    def __init__(
+        self,
+        detector: YOLO,
+        classifier=None,
+        device_batch: int = 8,
+        imgsz: int = 640,
+        crop_size: int = 380,
+        dtype=jnp.float32,
+    ):
+        self.detector = detector
+        self.classifier = classifier
+        self.device_batch = device_batch
+        self.imgsz = imgsz
+        self.crop_size = crop_size
+        self.dtype = dtype
+        self._compiled: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+    def _step_fn(self, orig_hw: Tuple[int, int]):
+        """Fused device step for one frame-batch geometry."""
+        key = orig_hw
+        if key in self._compiled:
+            return self._compiled[key]
+
+        h0, w0 = orig_hw
+        imgsz = self.imgsz
+        crop = self.crop_size
+        det_model = self.detector.model
+        nms_free = self.detector.version == "v10"
+        cls_net = self.classifier
+
+        def run(det_vars, cls_vars, frames_u8, conf):
+            B = frames_u8.shape[0]
+            rgb = frames_u8[..., ::-1]
+            imgs, r, pad = letterbox(rgb, imgsz, dtype=det_model.dtype)
+            out = det_model.apply(det_vars, imgs)
+            det = select_detections(
+                out, nms_free=nms_free, conf_thres=conf, iou_thres=0.7, max_det=8
+            )
+            # best instance = argmax conf (app.py:97); slot 0 is max-score already
+            best_valid = det["valid"][:, 0]
+            best_box_lb = det["boxes"][:, 0]          # letterboxed coords
+            best_conf = det["scores"][:, 0]
+            left, top = pad
+            shift = jnp.array([left, top, left, top], jnp.float32)
+            lim = jnp.array([w0, h0, w0, h0], jnp.float32)
+            best_box = jnp.clip((best_box_lb - shift) / r, 0, lim)
+
+            masks = None
+            if "coeffs" in det:
+                coeffs = det["coeffs"][:, :1]
+                m = decode_masks(
+                    out["proto"], coeffs, det["boxes"][:, :1], (imgsz, imgsz),
+                    upsample=True, threshold=0.5,
+                )  # (B, 1, imgsz, imgsz) at letterbox res
+                masks = m[:, 0].astype(jnp.uint8)
+
+            result = {
+                "valid": best_valid,
+                "conf": best_conf,
+                "box": best_box,
+                "mask_lb": masks,
+                "ratio": jnp.float32(r),
+                "pad": jnp.array(pad, jnp.float32),
+            }
+
+            if cls_net is not None:
+                # 380² crops on device with EXACT crop_frame semantics
+                # (utils/transform.py:22-56): clamp window to frame bounds,
+                # zero-pad truncated content at bottom/right.
+                cx = ((best_box[:, 0] + best_box[:, 2]) / 2).astype(jnp.int32)
+                cy = ((best_box[:, 1] + best_box[:, 3]) / 2).astype(jnp.int32)
+                half = crop // 2
+                x1 = jnp.maximum(cx - half, 0)
+                y1 = jnp.maximum(cy - half, 0)
+                x2 = jnp.minimum(cx + half, w0)
+                y2 = jnp.minimum(cy + half, h0)
+                wv = jnp.maximum(x2 - x1, 0)
+                hv = jnp.maximum(y2 - y1, 0)
+                padded = jnp.pad(rgb, ((0, 0), (0, crop), (0, crop), (0, 0)))
+
+                def crop_one(img, yy, xx, hh, ww):
+                    c = jax.lax.dynamic_slice(img, (yy, xx, 0), (crop, crop, 3))
+                    rows = jnp.arange(crop)[:, None, None] < hh
+                    cols = jnp.arange(crop)[None, :, None] < ww
+                    return jnp.where(rows & cols, c, 0)
+
+                crops = jax.vmap(crop_one)(padded, y1, x1, hv, wv)
+                x = preprocess_classifier(crops, cls_net.input_size, cls_net.model.dtype)
+                logits = cls_net.model.apply(cls_vars, x)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                result["cls"] = jnp.argmax(probs, axis=-1)
+                result["cls_prob"] = jnp.max(probs, axis=-1)
+            return result
+
+        fn = jax.jit(run)
+        self._compiled[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def process_frames(
+        self,
+        frames: Iterable[np.ndarray],
+        fps: float,
+        conf: float = 0.35,
+        judge_wnd: int = 20,
+    ) -> PipelineOutput:
+        """Run the full analysis over BGR uint8 frames."""
+        B = self.device_batch
+        batch: List[np.ndarray] = []
+        raw: List[Dict[str, np.ndarray]] = []
+        undetected_frames: Dict[int, np.ndarray] = {}
+        step = None
+        orig_hw: Optional[Tuple[int, int]] = None
+
+        def flush():
+            nonlocal step, orig_hw
+            if not batch:
+                return
+            n = len(batch)
+            arr = np.stack(batch)
+            orig_hw = arr.shape[1:3]
+            if n < B:
+                arr = np.concatenate([arr, np.zeros((B - n, *arr.shape[1:]), arr.dtype)])
+            if step is None:
+                step = self._step_fn(arr.shape[1:3])
+            cls_vars = self.classifier.variables if self.classifier else None
+            out = jax.device_get(
+                step(self.detector.variables, cls_vars, jnp.asarray(arr), jnp.float32(conf))
+            )
+            for i in range(n):
+                rec = {}
+                for k, v in out.items():
+                    rec[k] = v if (v is None or k in ("ratio", "pad")) else v[i]
+                raw.append(rec)
+                if not bool(rec["valid"]):
+                    # classifier must see the crop around the FALLBACK box
+                    # (reference crops around yolo_pred_xyxy incl. last-box reuse,
+                    # needle_clasify.py:151-154) — re-classify these on host later
+                    undetected_frames[len(raw) - 1] = batch[i].copy()
+            batch.clear()
+
+        for f in frames:
+            batch.append(f)
+            if len(batch) == B:
+                flush()
+        flush()
+
+        n = len(raw)
+        if n == 0:
+            return PipelineOutput(None, None, None, [], [], [], [], [], fps)
+
+        # host pass: last-box/last-length fallback chain (app.py:106-112)
+        lens: List[float] = []
+        boxes: List[Tuple[int, int, int, int]] = []
+        detected: List[bool] = []
+        last_box = None
+        last_len = 0.0
+        r = float(raw[0]["ratio"])
+        h0, w0 = orig_hw
+        for item in raw:
+            if bool(item["valid"]):
+                box = tuple(int(v) for v in item["box"])
+                last_box = box
+                poly = mask_to_polygons(item["mask_lb"], largest_only=True)
+                if len(poly):
+                    # polygon at letterbox res → original coords
+                    pad = item["pad"]
+                    poly = (poly - np.asarray(pad, np.float32)) / r
+                    length, _ = min_rect_len(poly)
+                else:
+                    length = 0.0
+                last_len = length
+                lens.append(length)
+                boxes.append(box)
+                detected.append(True)
+            else:
+                boxes.append(last_box if last_box is not None else (0, 0, w0, h0))
+                lens.append(last_len)
+                detected.append(False)
+
+        # classifier outputs
+        if self.classifier is not None:
+            classes = [int(item["cls"]) for item in raw]
+            probs = [float(item["cls_prob"]) for item in raw]
+            if undetected_frames:
+                # re-run the classifier for dropout frames with the fallback boxes
+                from yolo_puncture_tpu.tasks.classify import predict_and_find_start_inserted
+
+                idxs = sorted(undetected_frames)
+                sub_frames = [undetected_frames[i] for i in idxs]
+                sub_boxes = [boxes[i] for i in idxs]
+                from yolo_puncture_tpu.utils.transform import crop_frames_batch
+
+                rgb = [f[..., ::-1] for f in sub_frames]
+                crops = crop_frames_batch(
+                    np.asarray(rgb), np.asarray(sub_boxes), self.classifier.input_size
+                )
+                c_idx, c_p = self.classifier.predict(crops)
+                for j, i in enumerate(idxs):
+                    classes[i] = int(c_idx[j])
+                    probs[i] = float(c_p[j])
+            insert_start = find_insert_start(classes, probs, judge_wnd)
+            classes, probs = fix_class_prob(classes, probs, insert_start)
+        else:
+            classes = [0] * n
+            probs = [0.0] * n
+            insert_start = 0
+
+        smooth = gaussian_smoothing(lens)
+        res: SpeedResult = insertion_state_machine(
+            classes, smooth, detected, insert_start, fps
+        )
+        return PipelineOutput(
+            start_frame=res.start_frame,
+            end_frame=res.end_frame,
+            speed_mm_s=res.speed_mm_s,
+            lens=lens,
+            classes=classes,
+            probs=probs,
+            boxes=boxes,
+            detected=detected,
+            fps=fps,
+        )
+
+    def process_video(self, video_path: str, conf: float = 0.35, judge_wnd: int = 20):
+        from yolo_puncture_tpu.pipeline.video import iter_video_frames
+
+        fps, w, h, frames = iter_video_frames(video_path)
+        return self.process_frames(frames, fps, conf=conf, judge_wnd=judge_wnd)

@@ -1,0 +1,204 @@
+"""Fine-tune trainer: pjit data-parallel SGD with warmup, orbax checkpoints.
+
+Replaces the reference's delegated ``yolo train`` CLI (SURVEY.md §2.2 'YOLO
+train/val CLI'; ultralytics defaults: SGD momentum 0.937, weight decay 5e-4,
+3-epoch warmup, linear lr decay lr0→lr0·lrf).  The train step — forward, loss
+(train/losses.py), grads, optimizer update, BN-stat update — is ONE jitted
+program; with a multi-device mesh the batch shards over 'data' and XLA inserts
+the gradient all-reduce over ICI (parallel/mesh.py design).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def lr_schedule(lr0: float, lrf: float, total_steps: int, warmup_steps: int):
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr0 * step / jnp.maximum(warmup_steps, 1)
+        frac = jnp.clip(
+            (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1), 0, 1
+        )
+        decay = lr0 * (1.0 - frac) + lr0 * lrf * frac
+        return jnp.where(step < warmup_steps, warm, decay)
+
+    return fn
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        nc: int,
+        imgsz: int = 640,
+        lr0: float = 0.01,
+        lrf: float = 0.01,
+        momentum: float = 0.937,
+        weight_decay: float = 5e-4,
+        total_steps: int = 10_000,
+        warmup_steps: int = 300,
+        hyp: Optional[Dict[str, float]] = None,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.nc = nc
+        self.imgsz = imgsz
+        self.hyp = hyp or {"box": 7.5, "cls": 0.5, "dfl": 1.5, "seg": 1.0}
+        self.mesh = mesh
+        self.schedule = lr_schedule(lr0, lrf, total_steps, warmup_steps)
+        self.tx = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(learning_rate=self.schedule, momentum=momentum, nesterov=True),
+        )
+        self._seed = seed
+        self._step_fn = None
+
+    def init_state(self, example_batch) -> TrainState:
+        variables = self.model.init(
+            jax.random.PRNGKey(self._seed), jnp.asarray(example_batch["images"][:1])
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _build_step(self):
+        from yolo_puncture_tpu.train.losses import detection_loss
+
+        model, nc, hyp = self.model, self.nc, self.hyp
+        tx = self.tx
+
+        def loss_fn(params, batch_stats, batch):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out, updates = model.apply(
+                variables, batch["images"], train=True, mutable=["batch_stats"]
+            )
+            total, losses = detection_loss(out, batch, nc=nc, hyp=hyp)
+            return total, (losses, updates.get("batch_stats", {}))
+
+        def step(state: TrainState, batch):
+            (loss, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params,
+                batch_stats=new_stats if new_stats else state.batch_stats,
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+            metrics = {k: v for k, v in losses.items()}
+            metrics["lr"] = self.schedule(state.step)
+            return new_state, metrics
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+
+            def in_shard(batch_tree):
+                return jax.tree.map(
+                    lambda x: NamedSharding(
+                        self.mesh, P("data", *([None] * (np.ndim(x) - 1)))
+                    ),
+                    batch_tree,
+                )
+
+            self._step_fn = jax.jit(step, donate_argnums=(0,))
+        else:
+            self._step_fn = jax.jit(step, donate_argnums=(0,))
+        return self._step_fn
+
+    def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        if self._step_fn is None:
+            self._build_step()
+        if self.mesh is not None:
+            from yolo_puncture_tpu.parallel.mesh import replicate, shard_batch
+
+            batch = shard_batch(self.mesh, jax.tree.map(jnp.asarray, batch))
+        else:
+            batch = jax.tree.map(jnp.asarray, batch)
+        return self._step_fn(state, batch)
+
+    def fit(
+        self,
+        dataset,
+        epochs: int = 1,
+        batch_size: int = 8,
+        log_every: int = 10,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every: int = 1000,
+    ) -> TrainState:
+        state = None
+        step = 0
+        for epoch in range(epochs):
+            for batch in dataset.batches(batch_size):
+                if state is None:
+                    state = self.init_state(batch)
+                state, metrics = self.train_step(state, batch)
+                step += 1
+                if step % log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print(
+                        f"epoch {epoch} step {step}: total={m['total']:.3f} "
+                        f"box={m['box']:.3f} cls={m['cls']:.3f} dfl={m['dfl']:.3f}"
+                        + (f" seg={m['seg']:.3f}" if "seg" in m else "")
+                    )
+                if ckpt_dir and step % ckpt_every == 0:
+                    self.save_checkpoint(state, ckpt_dir)
+        if ckpt_dir and state is not None:
+            self.save_checkpoint(state, ckpt_dir)
+        return state
+
+    # -- checkpointing (orbax) --------------------------------------------
+
+    def save_checkpoint(self, state: TrainState, ckpt_dir: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{int(state.step)}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path,
+            {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "step": int(state.step),
+            },
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        return path
+
+    @staticmethod
+    def load_checkpoint(path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path))

@@ -283,6 +283,72 @@ def convert_yolo_state_dict(
     return jax.tree.map(lambda x: x, variables), report
 
 
+_SEQ_IDX = re.compile(r"\.(\d+)(?=\.)")
+
+
+def convert_classifier_state_dict(
+    sd: Dict[str, np.ndarray], template_variables, strict: bool = False
+):
+    """Generic converter for EfficientNet / VAN / U2Net style state dicts.
+
+    Key transform: every '.{digit}.' path segment becomes '_{digit}.' (timm
+    'blocks.0.1.conv_dw' → 'blocks_0_1.conv_dw'); leaves resolve capability-based
+    against the flax template (kernel vs scale vs direct param name).
+    """
+    import jax
+
+    params_flat = _flatten(dict(template_variables["params"]))
+    stats_flat = _flatten(dict(template_variables.get("batch_stats", {})))
+    new_params = dict(params_flat)
+    new_stats = dict(stats_flat)
+    unmatched, filled = [], set()
+
+    for tkey, arr in sd.items():
+        if tkey.endswith("num_batches_tracked"):
+            continue
+        k = _SEQ_IDX.sub(lambda m: f"_{m.group(1)}", tkey)
+        parts = tuple(k.split("."))
+        path, leaf = parts[:-1], parts[-1]
+
+        candidates = []
+        if leaf == "weight":
+            candidates = [
+                (new_params, params_flat, path + ("kernel",)),
+                (new_params, params_flat, path + ("scale",)),   # BN/LayerNorm γ
+            ]
+        elif leaf == "bias":
+            candidates = [(new_params, params_flat, path + ("bias",))]
+        elif leaf == "running_mean":
+            candidates = [(new_stats, stats_flat, path + ("mean",))]
+        elif leaf == "running_var":
+            candidates = [(new_stats, stats_flat, path + ("var",))]
+        else:  # direct param (layer_scale_1, etc.)
+            candidates = [(new_params, params_flat, path + (leaf,))]
+
+        placed = False
+        for store, tmpl, target in candidates:
+            if target in tmpl:
+                store[target] = convert_tensor(tkey, np.asarray(arr), tmpl[target].shape).astype(
+                    np.asarray(tmpl[target]).dtype
+                )
+                filled.add((id(store), target))
+                placed = True
+                break
+        if not placed:
+            unmatched.append(tkey)
+
+    unfilled = [p for p in params_flat if (id(new_params), p) not in filled] + [
+        p for p in stats_flat if (id(new_stats), p) not in filled
+    ]
+    report = {"unmatched_torch_keys": unmatched, "unfilled_flax_leaves": unfilled}
+    if strict and (unmatched or unfilled):
+        raise ValueError(f"conversion mismatch: {report}")
+    variables = {"params": _unflatten(new_params)}
+    if stats_flat:
+        variables["batch_stats"] = _unflatten(new_stats)
+    return jax.tree.map(lambda x: x, variables), report
+
+
 def load_ultralytics_checkpoint(path: str, model, strict: bool = False):
     """End-to-end: torch .pt/.pth file → flax variables for ``model`` (YOLOModel)."""
     import jax
