@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Headline benchmark: frames/sec/chip, YOLOv10-S seg end-to-end at 640×640.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = value / 500 (BASELINE.json north star: ≥500 frames/sec/chip on
+TPU v5e for YOLOv10-S seg(+DEVA)).
+
+The measured program is the fused device pipeline (ops cited in SURVEY.md §7):
+uint8 frames → letterbox → YOLOv10-S seg forward (bf16) → NMS-free top-k →
+proto-mask decode of the best instance → per-frame box/len outputs.  Steady-state
+timing over the real chip; host transfer is only the per-frame scalars + one
+letterbox-res mask per frame.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    track = os.environ.get("BENCH_TRACK", "1") != "0"
+
+    from yolo_puncture_tpu.models.yolo import YOLOModel
+    from yolo_puncture_tpu.ops.letterbox import letterbox
+    from yolo_puncture_tpu.ops.nms import select_detections
+    from yolo_puncture_tpu.ops.masks import decode_masks
+
+    model = YOLOModel(version="v10", scale="s", nc=1, task="segment", dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    )
+
+    tracker_step = None
+    if track:
+        try:
+            from yolo_puncture_tpu.track import build_bench_tracker
+
+            tracker_step = build_bench_tracker(imgsz=imgsz, dtype=jnp.bfloat16)
+        except Exception:
+            tracker_step = None
+
+    @jax.jit
+    def step(variables, frames_u8, conf):
+        imgs, r, pad = letterbox(frames_u8[..., ::-1], imgsz, dtype=jnp.bfloat16)
+        out = model.apply(variables, imgs)
+        det = select_detections(out, nms_free=True, conf_thres=conf, max_det=8)
+        masks = decode_masks(
+            out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],
+            (imgsz, imgsz), upsample=True, threshold=0.5,
+        )
+        return {
+            "boxes": det["boxes"][:, 0],
+            "scores": det["scores"][:, 0],
+            "valid": det["valid"][:, 0],
+            "mask": masks[:, 0].astype(jnp.uint8),
+        }
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 255, size=(batch, 720, 1280, 3), dtype=np.uint8)
+    )
+    conf = jnp.float32(0.25)
+
+    # warmup / compile
+    out = step(variables, frames, conf)
+    jax.block_until_ready(out)
+    if tracker_step is not None:
+        tracker_step_out = tracker_step(out["mask"])
+        jax.block_until_ready(tracker_step_out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(variables, frames, conf)
+        if tracker_step is not None:
+            out = {**out, "track": tracker_step(out["mask"])}
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    result = {
+        "metric": "frames/sec/chip at 640x640 (YOLOv10-S seg"
+        + ("+DEVA" if tracker_step is not None else "")
+        + ")",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 500.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
