@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""YOLO-as-detector temporal mask propagation — the yolo_with_deva.py CLI surface.
+
+Replicates the reference driver (yolo_seg/yolo_with_deva.py:211-262): video/dir →
+frames (VideoReader contract), per-frame semionline/online scheduling
+(process_frame, :103-208), ``pred.json`` dump (:260-262), Annotations/ PNG masks.
+The YOLO detector + the propagation network run on TPU; the scheduler and id
+bookkeeping stay on host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from os import path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def auto_segment(config, image_np, yolo_model, min_side, suppress_small_mask):
+    """YOLO instance seg → (id mask, segments_info) (yolo_with_deva.py:37-88)."""
+    import cv2
+
+    h, w = image_np.shape[:2]
+    if min_side > 0:
+        scale = min_side / min(h, w)
+        image_np = cv2.resize(image_np, (int(w * scale), int(h * scale)))
+
+    results = yolo_model.predict(image_np[..., ::-1], retina_masks=True, conf=0.9)
+    det = results[0]
+    output_mask = np.zeros((h, w), np.int64)
+    segments_info = []
+    curr_id = 1
+    if det.masks is not None:
+        from yolo_puncture_tpu.track import ObjectInfo
+
+        for i in range(len(det.masks)):
+            mask = det.masks.data[i]
+            if mask.shape != (h, w):
+                mask = cv2.resize(mask, (w, h), interpolation=cv2.INTER_LINEAR)
+            if suppress_small_mask and mask.sum() < config.get("MIN_AREA_THRESHOLD", 100):
+                continue
+            output_mask[mask > 0.5] = curr_id
+            segments_info.append(
+                ObjectInfo(
+                    id=curr_id,
+                    score=float(det.boxes.conf[i]),
+                    category_id=int(det.boxes.cls[i]),
+                )
+            )
+            curr_id += 1
+    return output_mask, segments_info
+
+
+def process_frame(tracker, yolo_model, frame_path, result_saver, ti, image_np=None):
+    """Semionline/online per-frame scheduler (yolo_with_deva.py:103-208)."""
+    import cv2
+
+    from yolo_puncture_tpu.track import FrameInfo
+    from yolo_puncture_tpu.track.saver import get_input_frame_for_deva
+
+    if image_np is None:
+        image_np = cv2.imread(frame_path)[..., ::-1]
+    cfg = tracker.config
+    h, w = image_np.shape[:2]
+    new_min_side = cfg.get("size", 480)
+    suppress_small_mask = cfg.get("suppress_small_objects", True)
+    need_resize = new_min_side > 0
+    image = get_input_frame_for_deva(image_np, new_min_side)
+    frame_name = path.basename(frame_path)
+    frame_info = FrameInfo(image, None, None, ti, {"frame": [frame_name], "shape": [h, w]})
+
+    if cfg.get("temporal_setting", "semionline") == "semionline":
+        if ti + cfg.get("num_voting_frames", 3) > tracker.next_voting_frame:
+            mask, segments_info = auto_segment(
+                cfg, image_np, yolo_model, new_min_side, suppress_small_mask
+            )
+            frame_info.mask = mask
+            frame_info.segments_info = segments_info
+            frame_info.image_np = image_np
+            tracker.add_to_temporary_buffer(frame_info)
+
+            if ti == tracker.next_voting_frame:
+                keyframe = tracker.frame_buffer[0]
+                _, mask, new_segments_info = tracker.vote_in_temporary_buffer(
+                    keyframe_selection="first"
+                )
+                prob = tracker.incorporate_detection(
+                    keyframe.image, mask, new_segments_info, incremental=True
+                )
+                tracker.next_voting_frame += cfg.get("detection_every", 5)
+                result_saver.save_mask(
+                    prob, keyframe.name, need_resize=need_resize, shape=(h, w),
+                    image_np=keyframe.image_np,
+                )
+                for fi in tracker.frame_buffer[1:]:
+                    prob = tracker.step(fi.image, None, None)
+                    result_saver.save_mask(
+                        prob, fi.name, need_resize, shape=(h, w), image_np=fi.image_np
+                    )
+                tracker.clear_buffer()
+        else:
+            prob = tracker.step(image, None, None)
+            result_saver.save_mask(
+                prob, frame_name, need_resize=need_resize, shape=(h, w), image_np=image_np
+            )
+    else:  # online
+        if ti % cfg.get("detection_every", 5) == 0:
+            mask, segments_info = auto_segment(
+                cfg, image_np, yolo_model, new_min_side, suppress_small_mask
+            )
+            prob = tracker.incorporate_detection(image, mask, segments_info, incremental=True)
+        else:
+            prob = tracker.step(image, None, None)
+        result_saver.save_mask(
+            prob, frame_name, need_resize=need_resize, shape=(h, w), image_np=image_np
+        )
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from yolo_puncture_tpu.pipeline import VideoReader
+    from yolo_puncture_tpu.predict import YOLO
+    from yolo_puncture_tpu.track import ResultSaver, TrackerCore, flush_buffer
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--video_name", type=str, required=True)
+    parser.add_argument("--img_path", type=str, required=True,
+                        help="video file or frame directory")
+    parser.add_argument("--output", type=str, default="./track_out")
+    parser.add_argument("--model", type=str, default="seg/yolo11n-seg-finetune.pt")
+    parser.add_argument("--temporal_setting", type=str, default="semionline",
+                        choices=["semionline", "online"])
+    parser.add_argument("--num_voting_frames", type=int, default=3)
+    parser.add_argument("--detection_every", type=int, default=5)
+    parser.add_argument("--size", type=int, default=480)
+    parser.add_argument("--max_missed_detection_count", type=int, default=10)
+    parser.add_argument("--max_mid_term_frames", type=int, default=10)
+    parser.add_argument("--min_mid_term_frames", type=int, default=5)
+    parser.add_argument("--num_prototypes", type=int, default=128)
+    parser.add_argument("--max_long_term_elements", type=int, default=10000)
+    parser.add_argument("--disable_long_term", action="store_true")
+    parser.add_argument("--mem_every", type=int, default=5)
+    parser.add_argument("--amp", action="store_true", help="bf16 compute")
+    args = parser.parse_args(argv)
+
+    cfg = {
+        "temporal_setting": args.temporal_setting,
+        "num_voting_frames": args.num_voting_frames,
+        "detection_every": args.detection_every,
+        "size": args.size,
+        "suppress_small_objects": True,
+        "mem_every": args.mem_every,
+        "enable_long_term": not args.disable_long_term,
+        "max_mid_term_frames": args.max_mid_term_frames,
+        "min_mid_term_frames": args.min_mid_term_frames,
+        "num_prototypes": args.num_prototypes,
+        "max_long_term_elements": args.max_long_term_elements,
+        "video_name": args.video_name,
+    }
+
+    video_reader = VideoReader(args.img_path)
+    vid_length = len(video_reader)
+    # long-term enablement formula (yolo_with_deva.py:242-245)
+    cfg["enable_long_term_count_usage"] = (
+        cfg["enable_long_term"]
+        and (
+            vid_length
+            / (cfg["max_mid_term_frames"] - cfg["min_mid_term_frames"])
+            * cfg["num_prototypes"]
+        )
+        >= cfg["max_long_term_elements"]
+    )
+    print("Configuration:", cfg)
+
+    dtype = jnp.bfloat16 if args.amp else jnp.float32
+    yolo_model = YOLO(args.model, nc=1, dtype=dtype)
+    # tracker input geometry: min side = size, /16-aligned, 16:9-ish default
+    h0, w0 = video_reader[0][0].shape[:2]
+    scale = args.size / min(h0, w0)
+    th = int(round(h0 * scale / 16)) * 16
+    tw = int(round(w0 * scale / 16)) * 16
+    tracker = TrackerCore(config=cfg, image_size=(max(th, 16), max(tw, 16)), dtype=dtype)
+    tracker.next_voting_frame = args.num_voting_frames - 1
+    tracker.enabled_long_id()
+    result_saver = ResultSaver(
+        args.output, cfg["video_name"], dataset="demo",
+        object_manager=tracker.object_manager,
+    )
+
+    for ti, (frame, im_path) in enumerate(video_reader):
+        process_frame(tracker, yolo_model, im_path, result_saver, ti, image_np=frame)
+    flush_buffer(tracker, result_saver)
+    result_saver.end()
+
+    os.makedirs(args.output, exist_ok=True)
+    with open(path.join(args.output, "pred.json"), "w") as f:
+        json.dump(result_saver.video_json, f, indent=4)
+
+
+if __name__ == "__main__":
+    main()

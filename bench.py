@@ -79,14 +79,13 @@ def main():
     out = step(variables, frames, conf)
     jax.block_until_ready(out)
     if tracker_step is not None:
-        tracker_step_out = tracker_step(out["mask"])
-        jax.block_until_ready(tracker_step_out)
+        jax.block_until_ready(tracker_step(frames))
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(variables, frames, conf)
         if tracker_step is not None:
-            out = {**out, "track": tracker_step(out["mask"])}
+            out = {**out, "track": tracker_step(frames)}
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,85 @@
+"""App-layer CLIs driven end-to-end on synthetic inputs (CPU)."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _make_video(path, n=12, h=64, w=96):
+    import cv2
+
+    out = cv2.VideoWriter(str(path), cv2.VideoWriter.fourcc(*"mp4v"), 30.0, (w, h))
+    for i in range(n):
+        f = np.zeros((h, w, 3), np.uint8)
+        cv2.rectangle(f, (20, 28), (70 - i, 38), (255, 255, 255), -1)
+        out.write(f)
+    out.release()
+
+
+def test_auto_speed_calc_cli(tmp_path):
+    _make_video(tmp_path / "video1.mp4")
+    from apps.auto_speed_calc import main
+
+    info = main([
+        "-p", str(tmp_path / "video1.mp4"),
+        "-ym", "yolov8n-seg",
+        "-cm", "nonexistent.pth.tar",
+        "-yct", "0.9",
+        "-jw", "5",
+        "--batch", "4",
+        "--imgsz", "64",
+    ])
+    assert "video1" in info
+    out = info["video1"]
+    assert len(out.lens) == 12
+
+
+def test_speed_freq_cli(tmp_path):
+    data = {
+        "lens": [100.0] * 30 + list(100 - 2.0 * np.arange(20)),
+        "key_frame": (30, 40),
+    }
+    (tmp_path / "in").mkdir()
+    with open(tmp_path / "in" / "video1.pkl", "wb") as f:
+        pickle.dump(data, f)
+    from apps.speed_freq import main
+
+    main(["--input", str(tmp_path / "in"), "--output", str(tmp_path / "out")])
+    assert (tmp_path / "out" / "video1.png").exists()
+
+
+def test_track_video_cli(tmp_path):
+    _make_video(tmp_path / "video2.mp4", n=6)
+    from apps.track_video import main
+
+    out_dir = tmp_path / "out"
+    main([
+        "--video_name", "video2",
+        "--img_path", str(tmp_path / "video2.mp4"),
+        "--output", str(out_dir),
+        "--model", "yolov8n-seg",
+        "--temporal_setting", "online",
+        "--detection_every", "3",
+        "--size", "64",
+    ])
+    pred = json.loads((out_dir / "pred.json").read_text())
+    assert pred["video"] == "video2"
+    assert len(pred["annotations"]) == 6
+    ann_dir = out_dir / "Annotations" / "video2"
+    assert len(list(ann_dir.glob("*.png"))) == 6
+
+
+def test_app_yolo_inference_image_mode():
+    from PIL import Image
+
+    from apps.app import yolo_inference
+
+    img = Image.fromarray(np.zeros((64, 96, 3), np.uint8))
+    annotated, vid = yolo_inference(img, None, "yolov8n-seg", "none", "none", 0.9, 20)
+    assert vid is None
+    assert annotated.shape == (64, 96, 3)

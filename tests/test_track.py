@@ -1,0 +1,156 @@
+"""Temporal propagation engine: step / incorporate / voting / saver contracts."""
+
+import numpy as np
+import pytest
+
+from yolo_puncture_tpu.track import (
+    FrameInfo,
+    ObjectInfo,
+    ResultSaver,
+    TrackerCore,
+    flush_buffer,
+    get_input_frame_for_deva,
+)
+
+
+@pytest.fixture(scope="module")
+def tracker():
+    return TrackerCore(image_size=(64, 96), max_objects=4, mem_frames=4, mem_every=2)
+
+
+def _frame(seed=0, h=64, w=96):
+    return np.random.default_rng(seed).integers(0, 255, (h, w, 3), np.uint8)
+
+
+def _disk_mask(h=64, w=96, cy=32, cx=40, r=12):
+    yy, xx = np.mgrid[:h, :w]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r).astype(np.int32)
+
+
+def test_step_before_any_detection_is_background(tracker):
+    prob = tracker.step(_frame(0))
+    assert prob.shape == (5, 64, 96)  # bg + max_objects
+    np.testing.assert_allclose(prob.sum(0), 1.0, atol=1e-4)
+    assert np.argmax(prob, 0).max() == 0  # nothing tracked yet
+
+
+def test_incorporate_then_propagate(tracker):
+    mask = _disk_mask()
+    prob = tracker.incorporate_detection(
+        _frame(1), mask, [ObjectInfo(id=7, score=0.9, category_id=0)]
+    )
+    ids = np.argmax(prob, 0)
+    # object occupies slot 0 → channel 1
+    inside = ids[32, 40]
+    assert inside == 1
+    assert tracker.object_manager.slot_to_info[0].id == 7
+    # propagation keeps memory engaged
+    prob2 = tracker.step(_frame(2))
+    assert prob2.shape == (5, 64, 96)
+    assert tracker.memory_engaged
+
+
+def test_match_detections_merges_and_allocates():
+    """Pure matcher: overlap > 0.5 merges into the existing slot, a disjoint
+    detection claims the first free slot (incremental semantics)."""
+    import jax.numpy as jnp
+    from yolo_puncture_tpu.track.core import match_detections
+
+    No, H, W = 4, 32, 48
+    prop = np.zeros((No, H, W), np.float32)
+    prop[0, 8:24, 8:24] = 1  # existing object in slot 0
+    active = np.array([True, False, False, False])
+
+    det = np.zeros((No, H, W), np.float32)
+    det[0, 9:25, 9:25] = 1       # ≈0.77 IoU with slot 0 → merge
+    det[1, 2:8, 36:44] = 1       # disjoint → new slot
+    det_valid = np.array([True, True, False, False])
+
+    merged, new_active, det_to_slot = match_detections(
+        jnp.asarray(prop), jnp.asarray(active), jnp.asarray(det), jnp.asarray(det_valid)
+    )
+    det_to_slot = np.asarray(det_to_slot)
+    assert det_to_slot[0] == 0           # merged into existing identity
+    assert det_to_slot[1] == 1           # allocated first free slot
+    assert det_to_slot[2] == -1          # invalid detection unassigned
+    new_active = np.asarray(new_active)
+    assert new_active[:2].all() and not new_active[2:].any()
+    np.testing.assert_array_equal(np.asarray(merged)[0], det[0])  # detection wins
+
+
+def test_match_detections_slots_exhausted():
+    import jax.numpy as jnp
+    from yolo_puncture_tpu.track.core import match_detections
+
+    No, H, W = 2, 16, 16
+    prop = np.zeros((No, H, W), np.float32)
+    active = np.array([True, True])  # all slots taken, no overlap with dets
+    det = np.zeros((No, H, W), np.float32)
+    det[0, :4, :4] = 1
+    det_valid = np.array([True, False])
+    _, new_active, det_to_slot = match_detections(
+        jnp.asarray(prop), jnp.asarray(active), jnp.asarray(det), jnp.asarray(det_valid)
+    )
+    assert int(np.asarray(det_to_slot)[0]) == -1  # dropped: no free slot, no match
+
+
+def test_incorporate_new_object_allocates_slot(tracker):
+    far = _disk_mask(cy=10, cx=80, r=6)
+    tracker.incorporate_detection(_frame(4), far, [ObjectInfo(id=55)])
+    active = np.asarray(tracker.memory.active)
+    assert active.sum() >= 1  # structural: at least one slot in use
+    assert 55 in [o.id for o in tracker.object_manager.slot_to_info.values()]
+
+
+def test_voting_buffer():
+    t = TrackerCore(image_size=(64, 96), max_objects=4, mem_frames=4)
+    m1 = _disk_mask()
+    m2 = _disk_mask(cx=41)
+    m3 = np.zeros_like(m1)  # object missing in one frame
+    for i, m in enumerate([m1, m2, m3]):
+        t.add_to_temporary_buffer(
+            FrameInfo(_frame(i), m, [ObjectInfo(id=1)], i, {"frame": [f"f{i}.jpg"], "shape": [64, 96]})
+        )
+    ti, mask, infos = t.vote_in_temporary_buffer("first")
+    assert ti == 0
+    assert len(infos) == 1  # seen in 2/3 frames ≥ majority
+    assert (mask == 1).sum() > 0
+    t.clear_buffer()
+    assert t.frame_buffer == []
+
+
+def test_voting_rejects_flicker():
+    t = TrackerCore(image_size=(64, 96), max_objects=4, mem_frames=4)
+    m1 = _disk_mask()
+    empty = np.zeros_like(m1)
+    for i, m in enumerate([m1, empty, empty]):
+        t.add_to_temporary_buffer(
+            FrameInfo(_frame(i), m, [ObjectInfo(id=1)], i, {"frame": [f"f{i}.jpg"], "shape": [64, 96]})
+        )
+    _, mask, infos = t.vote_in_temporary_buffer("first")
+    assert len(infos) == 0 and mask.max() == 0
+
+
+def test_result_saver_and_flush(tmp_path):
+    t = TrackerCore(image_size=(64, 96), max_objects=4, mem_frames=4)
+    saver = ResultSaver(str(tmp_path), "vid1", object_manager=t.object_manager)
+    prob = t.incorporate_detection(_frame(0), _disk_mask(), [ObjectInfo(id=3)])
+    saver.save_mask(prob, "0frame_0.jpg", need_resize=True, shape=(128, 192))
+    assert (tmp_path / "Annotations" / "vid1" / "0frame_0.png").exists()
+    ann = saver.video_json["annotations"][0]
+    assert ann["file_name"] == "0frame_0.jpg"
+    assert ann["segments_info"][0]["id"] == 3
+
+    t.add_to_temporary_buffer(
+        FrameInfo(_frame(1), None, None, 1, {"frame": ["0frame_1.jpg"], "shape": [64, 96]})
+    )
+    flush_buffer(t, saver)
+    assert t.frame_buffer == []
+    assert len(saver.video_json["annotations"]) == 2
+
+
+def test_get_input_frame_min_side():
+    img = np.zeros((100, 200, 3), np.uint8)
+    out = get_input_frame_for_deva(img, 50)
+    assert min(out.shape[:2]) == 50
+    assert get_input_frame_for_deva(img, -1).shape == img.shape

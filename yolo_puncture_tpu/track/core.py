@@ -1,0 +1,343 @@
+"""TrackerCore — the DEVAInferenceCore-compatible temporal propagation engine.
+
+API contract (usage sites yolo_with_deva.py:91-208, SURVEY.md §2.2 'DEVA inference
+core'): ``step(image, mask, objects)`` propagates one frame through memory
+attention; ``incorporate_detection(image, mask, segments_info, incremental=True)``
+merges new detections with propagated objects; temporary buffer +
+``vote_in_temporary_buffer(keyframe_selection='first')`` for semionline voting;
+``next_voting_frame``, ``add_to_temporary_buffer``, ``clear_buffer``,
+``enabled_long_id``, ``object_manager``.
+
+Device design: one jitted ``_step`` (encode → memory readout → decode → sensory
+update → conditional ring write) and one jitted ``_incorporate`` (same, plus
+IoU-greedy identity matching against a one-hot detection mask) — both fixed-shape
+(max_objects padding, T_mem ring).  Host keeps only id bookkeeping and the voting
+buffer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_puncture_tpu.track.memory import MemoryState, init_memory, write_memory
+from yolo_puncture_tpu.track.network import (
+    PropagationNetwork,
+    SENSORY_DIM,
+    memory_readout,
+    soft_aggregate,
+)
+
+
+def match_detections(prop_masks, active, det_onehot, det_valid):
+    """Greedy identity matching: detections vs propagated masks (pure, testable).
+
+    prop_masks (No, H, W) {0,1}; active (No,); det_onehot (No, H, W); det_valid (No,).
+    A detection with IoU > 0.5 against an active propagated object merges into that
+    slot; otherwise it claims the first free slot (DEVA incorporate_detection
+    incremental=True semantics).  Returns (merged_masks, active, det_to_slot).
+    """
+    No = prop_masks.shape[0]
+    inter = jnp.einsum("nhw,mhw->nm", prop_masks, det_onehot)
+    union = prop_masks.sum((1, 2))[:, None] + det_onehot.sum((1, 2))[None, :] - inter
+    iou = inter / jnp.maximum(union, 1.0)
+    iou = jnp.where(active[:, None] & det_valid[None, :], iou, -1.0)
+
+    def assign_det(j, carry):
+        merged, act, det_to_slot = carry
+        col = iou[:, j]
+        best = jnp.argmax(col)
+        matched = (col[best] > 0.5) & det_valid[j]
+        free = jnp.argmin(act)  # first inactive slot (False < True)
+        has_free = ~act[free]
+        new_obj = det_valid[j] & ~matched & has_free
+        slot = jnp.where(matched, best, free)
+        use = matched | new_obj
+        merged = jnp.where(use, merged.at[slot].set(det_onehot[j]), merged)
+        act = jnp.where(use, act.at[slot].set(True), act)
+        det_to_slot = det_to_slot.at[j].set(jnp.where(use, slot, -1))
+        return merged, act, det_to_slot
+
+    merged0 = prop_masks * active[:, None, None]
+    init = (merged0, active, jnp.full((No,), -1, jnp.int32))
+    return jax.lax.fori_loop(0, No, assign_det, init)
+
+
+@dataclasses.dataclass
+class ObjectInfo:
+    """Reference ObjectInfo surface (yolo_with_deva.py:19,85)."""
+
+    id: int
+    score: float = 1.0
+    category_id: int = 0
+
+
+@dataclasses.dataclass
+class FrameInfo:
+    """Reference FrameInfo surface (yolo_with_deva.py:123-126)."""
+
+    image: np.ndarray
+    mask: Optional[np.ndarray]
+    segments_info: Optional[List[ObjectInfo]]
+    ti: int
+    info: dict
+    image_np: Optional[np.ndarray] = None
+
+    @property
+    def name(self):
+        return self.info["frame"][0]
+
+
+class ObjectManager:
+    """slot index ↔ object id mapping (DEVA object_manager analog)."""
+
+    def __init__(self, max_objects: int):
+        self.max_objects = max_objects
+        self.slot_to_info: Dict[int, ObjectInfo] = {}
+        self._next_id = 1
+
+    def allocate(self, slot: int, info: Optional[ObjectInfo] = None) -> ObjectInfo:
+        if info is None:
+            info = ObjectInfo(id=self._next_id)
+        self._next_id = max(self._next_id, info.id + 1)
+        self.slot_to_info[slot] = info
+        return info
+
+    @property
+    def all_obj_ids(self):
+        return [o.id for o in self.slot_to_info.values()]
+
+
+class TrackerCore:
+    def __init__(
+        self,
+        config: Optional[dict] = None,
+        variables=None,
+        image_size: Tuple[int, int] = (480, 864),
+        max_objects: int = 8,
+        mem_frames: int = 16,
+        mem_every: int = 5,
+        top_k: int = 30,
+        dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        self.config = config or {}
+        self.mem_every = int(self.config.get("mem_every", mem_every))
+        self.top_k = int(self.config.get("top_k", top_k))
+        self.max_objects = max_objects
+        h, w = image_size
+        assert h % 16 == 0 and w % 16 == 0, "image_size must be /16"
+        self.image_size = (h, w)
+        self.h16, self.w16 = h // 16, w // 16
+        self.net = PropagationNetwork(dtype=dtype)
+        if variables is None:
+            variables = self.net.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3), jnp.float32)
+            )
+        self.variables = variables
+        self.memory: MemoryState = init_memory(
+            self.h16, self.w16, max_objects, mem_frames, jnp.float32
+        )
+        self.object_manager = ObjectManager(max_objects)
+
+        # semionline voting state (reference surface)
+        self.frame_buffer: List[FrameInfo] = []
+        self.next_voting_frame = 0
+        self.curr_ti = -1
+        self._long_id = False
+
+        self._jit_step = jax.jit(self._step_impl)
+        self._jit_incorporate = jax.jit(self._incorporate_impl)
+
+    # ------------------------------------------------------------------
+    # device programs
+    # ------------------------------------------------------------------
+
+    def _encode_and_read(self, variables, image, memory: MemoryState):
+        key, skips = self.net.apply(
+            variables, image[None], method=PropagationNetwork.encode_key
+        )
+        q = key[0].reshape(-1, key.shape[-1])
+        T, HW = memory.keys.shape[:2]
+        mem_keys = memory.keys.reshape(T * HW, -1)
+        mem_vals = memory.values.reshape(self.max_objects, T * HW, -1)
+        mem_valid = jnp.repeat(memory.valid, HW)
+        readout = memory_readout(q, mem_keys, mem_vals, mem_valid, self.top_k)
+        readout = readout.reshape(self.max_objects, self.h16, self.w16, -1)
+        skips0 = {k: v[0] for k, v in skips.items()}
+        return key[0], skips0, readout
+
+    def _decode_and_update(self, variables, memory, skips0, readout):
+        logits, hidden_feat = self.net.apply(
+            variables, readout, skips0, memory.sensory, method=PropagationNetwork.decode
+        )
+        sensory = self.net.apply(
+            variables, memory.sensory, hidden_feat, method=PropagationNetwork.update_sensory
+        )
+        prob = soft_aggregate(logits, memory.active.astype(logits.dtype))
+        return prob, sensory
+
+    def _write(self, variables, memory, key, skips0, prob, do_write):
+        # per-object stride-16 soft mask from the aggregated prob
+        fg = prob[1:]  # (No, H, W)
+        mask_s16 = jax.image.resize(
+            fg, (self.max_objects, self.h16, self.w16), method="bilinear"
+        )[..., None]
+        value = self.net.apply(
+            variables, skips0["f16"], mask_s16, memory.sensory,
+            method=PropagationNetwork.encode_value,
+        )
+        key_flat = key.reshape(-1, key.shape[-1])
+        val_flat = value.reshape(self.max_objects, -1, value.shape[-1])
+        return write_memory(memory, key_flat, val_flat, do_write)
+
+    def _step_impl(self, variables, memory: MemoryState, image):
+        key, skips0, readout = self._encode_and_read(variables, image, memory)
+        prob, sensory = self._decode_and_update(variables, memory, skips0, readout)
+        memory = memory._replace(sensory=sensory)
+        do_write = (memory.frame_idx % self.mem_every == 0) & jnp.any(memory.active)
+        memory = self._write(variables, memory, key, skips0, prob, do_write)
+        memory = memory._replace(frame_idx=memory.frame_idx + 1)
+        return prob, memory
+
+    def _incorporate_impl(self, variables, memory: MemoryState, image, det_onehot, det_valid):
+        """det_onehot: (No_slots, H, W) float — detection masks stacked into slots
+        (slot order arbitrary); det_valid: (No_slots,) bool."""
+        key, skips0, readout = self._encode_and_read(variables, image, memory)
+        prob, sensory = self._decode_and_update(variables, memory, skips0, readout)
+
+        prop_masks = (prob[1:] > 0.5).astype(jnp.float32)  # (No, H, W)
+        merged, active, det_to_slot = match_detections(
+            prop_masks, memory.active, det_onehot, det_valid
+        )
+
+        memory = memory._replace(sensory=sensory, active=active)
+        # re-aggregate output prob from merged masks (detections authoritative)
+        logits = jnp.log(jnp.clip(merged, 1e-6, 1 - 1e-6) / (1 - jnp.clip(merged, 1e-6, 1 - 1e-6)))
+        prob_out = soft_aggregate(logits, active.astype(jnp.float32))
+        # memory write is unconditional on incorporate (new reference frame)
+        memory = self._write(
+            variables, memory, key, skips0, prob_out, jnp.asarray(True)
+        )
+        memory = memory._replace(frame_idx=memory.frame_idx + 1)
+        return prob_out, memory, det_to_slot
+
+    # ------------------------------------------------------------------
+    # host API (reference surface)
+    # ------------------------------------------------------------------
+
+    def _prep_image(self, image: np.ndarray) -> jnp.ndarray:
+        """HWC uint8/float RGB → fixed (H, W, 3) float in [0,1]."""
+        import cv2
+
+        h, w = self.image_size
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        if img.shape[:2] != (h, w):
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+        return jnp.asarray(img.astype(np.float32) / 255.0)
+
+    def step(self, image, mask=None, objects=None):
+        """Propagate one frame.  Returns prob (No+1, H, W) numpy."""
+        if mask is not None:
+            seg_info = (
+                [ObjectInfo(id=i + 1) for i in range(int(np.max(mask)))]
+                if objects is None
+                else objects
+            )
+            return self.incorporate_detection(image, mask, seg_info)
+        self.curr_ti += 1
+        img = self._prep_image(image)
+        prob, self.memory = self._jit_step(self.variables, self.memory, img)
+        return np.asarray(prob)
+
+    def incorporate_detection(self, image, mask, segments_info, incremental: bool = True):
+        """mask: (H, W) integer id mask (ids index segments_info order, 1-based)."""
+        import cv2
+
+        self.curr_ti += 1
+        img = self._prep_image(image)
+        h, w = self.image_size
+        m = np.asarray(mask)
+        if hasattr(m, "device"):  # jax array ok via asarray
+            m = np.asarray(m)
+        if m.shape != (h, w):
+            m = cv2.resize(m.astype(np.int32), (w, h), interpolation=cv2.INTER_NEAREST)
+        No = self.max_objects
+        onehot = np.zeros((No, h, w), np.float32)
+        valid = np.zeros((No,), bool)
+        infos = list(segments_info or [])[:No]
+        for j, info in enumerate(infos):
+            onehot[j] = m == (j + 1)
+            valid[j] = onehot[j].sum() > 0
+        prob, self.memory, det_to_slot = self._jit_incorporate(
+            self.variables, self.memory, img, jnp.asarray(onehot), jnp.asarray(valid)
+        )
+        det_to_slot = np.asarray(det_to_slot)
+        for j, info in enumerate(infos):
+            slot = int(det_to_slot[j])
+            if slot >= 0 and slot not in self.object_manager.slot_to_info:
+                self.object_manager.allocate(slot, info)
+        return np.asarray(prob)
+
+    # -- semionline buffer / voting (yolo_with_deva.py:132-187 surface) -----
+
+    def add_to_temporary_buffer(self, frame_info: FrameInfo):
+        self.frame_buffer.append(frame_info)
+
+    def clear_buffer(self):
+        self.frame_buffer = []
+
+    def vote_in_temporary_buffer(self, keyframe_selection: str = "first"):
+        """Pixel-majority vote over the buffered detection masks.
+
+        Objects are anchored to the keyframe ('first'); a keyframe object survives
+        if its mask region is detected (IoU>0.5 with some object) in ≥ half the
+        buffered frames.  Returns (ti, voted mask, segments_info) like DEVA.
+        """
+        assert keyframe_selection == "first"
+        assert self.frame_buffer, "empty voting buffer"
+        keyframe = self.frame_buffer[0]
+        key_mask = np.asarray(keyframe.mask)
+        key_infos = list(keyframe.segments_info or [])
+        n_frames = len(self.frame_buffer)
+        votes = {j: 1 for j in range(1, len(key_infos) + 1)}
+        for fi in self.frame_buffer[1:]:
+            m = np.asarray(fi.mask)
+            if m.shape != key_mask.shape:
+                import cv2
+
+                m = cv2.resize(
+                    m.astype(np.int32), key_mask.shape[::-1], interpolation=cv2.INTER_NEAREST
+                )
+            for j in list(votes):
+                a = key_mask == j
+                if not a.any():
+                    continue
+                ids, counts = np.unique(m[a], return_counts=True)
+                best = ids[np.argmax(counts)]
+                if best == 0:
+                    continue
+                b = m == best
+                iou = (a & b).sum() / max((a | b).sum(), 1)
+                if iou > 0.5:
+                    votes[j] += 1
+        keep = [j for j, v in votes.items() if v >= max(1, (n_frames + 1) // 2)]
+        out_mask = np.zeros_like(key_mask)
+        new_infos = []
+        for new_id, j in enumerate(keep, start=1):
+            out_mask[key_mask == j] = new_id
+            new_infos.append(key_infos[j - 1])
+        return keyframe.ti, out_mask, new_infos
+
+    def enabled_long_id(self):
+        self._long_id = True
+
+    @property
+    def memory_engaged(self) -> bool:
+        return bool(np.asarray(self.memory.valid).any())

@@ -1,0 +1,197 @@
+"""Propagation network: key/value encoders, memory readout, mask decoder.
+
+TPU-native re-design of the DEVA/XMem propagation model the reference drives
+through ``DEVAInferenceCore`` (SURVEY.md §2.2 'DEVA inference core', §3.2 hot
+inner ops: query-key affinity softmax over memory elements, top-k readout, value
+decoding, multi-scale feature reuse).  Deliberate deviations for TPU:
+
+  * Affinity is scaled dot-product (one MXU matmul) with top-k sparsification,
+    not XMem's anisotropic L2 — same role, better MXU mapping.
+  * All object dims are padded to a static ``max_objects``; inactive slots are
+    masked, so every step is one fixed-shape XLA program (SURVEY.md hard part #1:
+    dynamic object count → fixed max-objects padding).
+  * Encoders are compact ConvBN/C2f stacks (nn/common.py) rather than ResNet50/18
+    torch backbones.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolo_puncture_tpu.nn.common import C2f, ConvBN
+
+Dtype = Any
+
+KEY_DIM = 64
+VALUE_DIM = 256
+SENSORY_DIM = 64
+
+
+class KeyEncoder(nn.Module):
+    """Image → query key (stride 16) + multi-scale skip features f4/f8/f16."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(32, 3, 2, dtype=self.dtype, name="stem")(x, train)          # /2
+        y = ConvBN(64, 3, 2, dtype=self.dtype, name="down1")(y, train)         # /4
+        f4 = C2f(64, 1, True, dtype=self.dtype, name="stage1")(y, train)
+        y = ConvBN(128, 3, 2, dtype=self.dtype, name="down2")(f4, train)       # /8
+        f8 = C2f(128, 2, True, dtype=self.dtype, name="stage2")(y, train)
+        y = ConvBN(256, 3, 2, dtype=self.dtype, name="down3")(f8, train)       # /16
+        f16 = C2f(256, 2, True, dtype=self.dtype, name="stage3")(y, train)
+        key = ConvBN(KEY_DIM, 1, 1, act=False, dtype=self.dtype, name="key_proj")(
+            f16, train
+        )
+        return key, {"f4": f4, "f8": f8, "f16": f16}
+
+
+class ValueEncoder(nn.Module):
+    """(image features f16, object mask) → memory value (stride 16), per object."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f16, mask_s16, sensory, train: bool = False):
+        # mask_s16: (No, H16, W16, 1); f16: (H16, W16, C) broadcast over objects
+        No = mask_s16.shape[0]
+        f = jnp.broadcast_to(f16[None], (No, *f16.shape))
+        x = jnp.concatenate([f, mask_s16, sensory], axis=-1)
+        y = ConvBN(256, 3, 1, dtype=self.dtype, name="fuse1")(x, train)
+        y = C2f(256, 1, True, dtype=self.dtype, name="block")(y, train)
+        return ConvBN(VALUE_DIM, 1, 1, act=False, dtype=self.dtype, name="value_proj")(
+            y, train
+        )
+
+
+class SensoryUpdater(nn.Module):
+    """GRU-style per-object sensory memory at stride 16 (XMem hidden-state analog)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, feat, train: bool = False):
+        x = jnp.concatenate([hidden, feat], axis=-1)
+        z = jax.nn.sigmoid(
+            ConvBN(SENSORY_DIM, 3, 1, act=False, dtype=self.dtype, name="update")(x, train)
+        )
+        r = jax.nn.sigmoid(
+            ConvBN(SENSORY_DIM, 3, 1, act=False, dtype=self.dtype, name="reset")(x, train)
+        )
+        cand = jnp.tanh(
+            ConvBN(SENSORY_DIM, 3, 1, act=False, dtype=self.dtype, name="cand")(
+                jnp.concatenate([r * hidden, feat], axis=-1), train
+            )
+        )
+        return (1 - z) * hidden + z * cand
+
+
+class MaskDecoder(nn.Module):
+    """(readout value, skips, sensory) → per-object mask logit at full stride-4 then
+    upsampled ×4; soft-aggregated outside."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, readout, skips, sensory, train: bool = False):
+        # readout: (No, H16, W16, Cv); skips f8 (H8, W8, C), f4
+        No = readout.shape[0]
+        x = jnp.concatenate([readout, sensory], axis=-1)
+        x = ConvBN(256, 3, 1, dtype=self.dtype, name="in_conv")(x, train)
+        hidden_feat = x  # for sensory update
+
+        def up(x):
+            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+        f8 = ConvBN(128, 1, 1, dtype=self.dtype, name="skip8")(skips["f8"], train)
+        x = ConvBN(128, 3, 1, dtype=self.dtype, name="dec8")(up(x), train)
+        x = x + jnp.broadcast_to(f8[None], (No, *f8.shape))
+        f4 = ConvBN(64, 1, 1, dtype=self.dtype, name="skip4")(skips["f4"], train)
+        x = ConvBN(64, 3, 1, dtype=self.dtype, name="dec4")(up(x), train)
+        x = x + jnp.broadcast_to(f4[None], (No, *f4.shape))
+        logits_s4 = nn.Conv(1, (1, 1), dtype=self.dtype, name="out")(x)  # (No, H4, W4, 1)
+        logits = jax.image.resize(
+            logits_s4,
+            (No, logits_s4.shape[1] * 4, logits_s4.shape[2] * 4, 1),
+            method="bilinear",
+        )
+        return logits[..., 0], hidden_feat
+
+
+class PropagationNetwork(nn.Module):
+    """Bundles the submodules; apply with method= to reach each piece."""
+
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.key_encoder = KeyEncoder(dtype=self.dtype)
+        self.value_encoder = ValueEncoder(dtype=self.dtype)
+        self.sensory = SensoryUpdater(dtype=self.dtype)
+        self.decoder = MaskDecoder(dtype=self.dtype)
+
+    def encode_key(self, image, train: bool = False):
+        return self.key_encoder(image, train)
+
+    def encode_value(self, f16, mask_s16, sensory, train: bool = False):
+        return self.value_encoder(f16, mask_s16, sensory, train)
+
+    def update_sensory(self, hidden, feat, train: bool = False):
+        return self.sensory(hidden, feat, train)
+
+    def decode(self, readout, skips, sensory, train: bool = False):
+        return self.decoder(readout, skips, sensory, train)
+
+    def __call__(self, image):
+        # init-only path: build all params with dummy shapes
+        key, skips = self.encode_key(image)
+        H16, W16 = key.shape[1:3]
+        No = 2
+        mask_s16 = jnp.zeros((No, H16, W16, 1), self.dtype)
+        sens = jnp.zeros((No, H16, W16, SENSORY_DIM), self.dtype)
+        value = self.encode_value(skips["f16"][0], mask_s16, sens)
+        readout = jnp.zeros((No, H16, W16, VALUE_DIM), self.dtype)
+        logits, hidden_feat = self.decode(
+            readout, {k: v[0] for k, v in skips.items()}, sens
+        )
+        new_sens = self.update_sensory(sens, hidden_feat)
+        return logits
+
+
+def memory_readout(
+    query_key,      # (H16*W16, Ck)
+    mem_keys,       # (T*H16*W16, Ck)
+    mem_values,     # (No, T*H16*W16, Cv)
+    mem_valid,      # (T*H16*W16,) bool
+    top_k: int = 30,
+):
+    """Affinity softmax + top-k readout — the SURVEY §3.2 hot op.
+
+    Scaled dot-product affinity (one MXU matmul), top-k sparsification per query,
+    softmax over the kept entries, then value gather-matmul per object.
+    A Pallas fused variant lives in ops/pallas/mem_attention.py.
+    """
+    Ck = query_key.shape[-1]
+    scale = Ck ** -0.5
+    aff = (query_key @ mem_keys.T) * scale                        # (Q, M)
+    aff = jnp.where(mem_valid[None, :], aff, -1e9)
+    k = min(top_k, aff.shape[-1])
+    topv, topi = jax.lax.top_k(aff, k)                            # (Q, k)
+    w = jax.nn.softmax(topv, axis=-1)                             # (Q, k)
+    # gather values at topi: (No, Q, k, Cv) — contract over k
+    gathered = mem_values[:, topi]                                # (No, Q, k, Cv)
+    return jnp.einsum("qk,nqkc->nqc", w, gathered)                # (No, Q, Cv)
+
+
+def soft_aggregate(logits, active, eps: float = 1e-7):
+    """Per-object sigmoid logits (No, H, W) → normalized probs (No+1, H, W) with
+    background = Π(1−pᵢ) (standard VOS soft aggregation)."""
+    p = jax.nn.sigmoid(logits) * active[:, None, None]
+    bg = jnp.clip(jnp.prod(1.0 - p, axis=0, keepdims=True), eps, 1.0)
+    logit_stack = jnp.concatenate([jnp.log(bg / (1 - bg + eps) + eps),
+                                   jnp.log(p / (1 - p + eps) + eps)], axis=0)
+    return jax.nn.softmax(logit_stack, axis=0)
