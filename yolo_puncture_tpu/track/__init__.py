@@ -22,7 +22,12 @@ def build_bench_tracker(imgsz: int = 640, dtype=None):
     import jax
     import jax.numpy as jnp
 
-    core = TrackerCore(image_size=(imgsz, imgsz), dtype=dtype or jnp.float32)
+    # benchmark geometry: 4 object slots (puncture videos track 1-2 needles),
+    # 8-frame working memory (DEVA max_mid_term_frames default is 10)
+    core = TrackerCore(
+        image_size=(imgsz, imgsz), max_objects=4, mem_frames=8,
+        dtype=dtype or jnp.float32,
+    )
     # seed one active object so readout/decode do real work
     import numpy as np
 

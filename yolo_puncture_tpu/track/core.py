@@ -28,7 +28,7 @@ from yolo_puncture_tpu.track.memory import MemoryState, init_memory, write_memor
 from yolo_puncture_tpu.track.network import (
     PropagationNetwork,
     SENSORY_DIM,
-    memory_readout,
+    memory_readout_dense,
     soft_aggregate,
 )
 
@@ -139,8 +139,10 @@ class TrackerCore:
                 jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3), jnp.float32)
             )
         self.variables = variables
+        # memory lives in the compute dtype (bf16 halves readout-matmul cost and
+        # HBM traffic; softmax statistics stay fp32 inside the readout)
         self.memory: MemoryState = init_memory(
-            self.h16, self.w16, max_objects, mem_frames, jnp.float32
+            self.h16, self.w16, max_objects, mem_frames, dtype
         )
         self.object_manager = ObjectManager(max_objects)
 
@@ -166,7 +168,8 @@ class TrackerCore:
         mem_keys = memory.keys.reshape(T * HW, -1)
         mem_vals = memory.values.reshape(self.max_objects, T * HW, -1)
         mem_valid = jnp.repeat(memory.valid, HW)
-        readout = memory_readout(q, mem_keys, mem_vals, mem_valid, self.top_k)
+        # dense MXU readout (no sort/gather) — see network.memory_readout_dense
+        readout = memory_readout_dense(q, mem_keys, mem_vals, mem_valid)
         readout = readout.reshape(self.max_objects, self.h16, self.w16, -1)
         skips0 = {k: v[0] for k, v in skips.items()}
         return key[0], skips0, readout
@@ -182,18 +185,22 @@ class TrackerCore:
         return prob, sensory
 
     def _write(self, variables, memory, key, skips0, prob, do_write):
-        # per-object stride-16 soft mask from the aggregated prob
-        fg = prob[1:]  # (No, H, W)
-        mask_s16 = jax.image.resize(
-            fg, (self.max_objects, self.h16, self.w16), method="bilinear"
-        )[..., None]
-        value = self.net.apply(
-            variables, skips0["f16"], mask_s16, memory.sensory,
-            method=PropagationNetwork.encode_value,
-        )
-        key_flat = key.reshape(-1, key.shape[-1])
-        val_flat = value.reshape(self.max_objects, -1, value.shape[-1])
-        return write_memory(memory, key_flat, val_flat, do_write)
+        def compute_and_write(memory):
+            # per-object stride-16 soft mask from the aggregated prob
+            fg = prob[1:]  # (No, H, W)
+            mask_s16 = jax.image.resize(
+                fg, (self.max_objects, self.h16, self.w16), method="bilinear"
+            )[..., None]
+            value = self.net.apply(
+                variables, skips0["f16"], mask_s16, memory.sensory,
+                method=PropagationNetwork.encode_value,
+            )
+            key_flat = key.reshape(-1, key.shape[-1])
+            val_flat = value.reshape(self.max_objects, -1, value.shape[-1])
+            return write_memory(memory, key_flat, val_flat, jnp.asarray(True))
+
+        # lax.cond so non-write frames skip the value-encoder entirely
+        return jax.lax.cond(do_write, compute_and_write, lambda m: m, memory)
 
     def _step_impl(self, variables, memory: MemoryState, image):
         key, skips0, readout = self._encode_and_read(variables, image, memory)

@@ -31,18 +31,31 @@ VALUE_DIM = 256
 SENSORY_DIM = 64
 
 
+def space_to_depth(x, r: int = 4):
+    """(B, H, W, C) → (B, H/r, W/r, C·r²) — lane-friendly input stem.
+
+    Small-channel convs at full resolution run at <5% MXU utilization (3→32
+    channels pad to 128 lanes); folding 4×4 pixel blocks into channels moves the
+    work to ≥48-channel tensors at 1/16 the spatial size."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // r, r, W // r, r, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // r, W // r, C * r * r)
+
+
 class KeyEncoder(nn.Module):
-    """Image → query key (stride 16) + multi-scale skip features f4/f8/f16."""
+    """Image → query key (stride 16) + multi-scale skip features f4/f8/f16.
+
+    TPU layout: space-to-depth(4) stem, all convs ≥128 channels (MXU tiling)."""
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBN(32, 3, 2, dtype=self.dtype, name="stem")(x, train)          # /2
-        y = ConvBN(64, 3, 2, dtype=self.dtype, name="down1")(y, train)         # /4
-        f4 = C2f(64, 1, True, dtype=self.dtype, name="stage1")(y, train)
-        y = ConvBN(128, 3, 2, dtype=self.dtype, name="down2")(f4, train)       # /8
-        f8 = C2f(128, 2, True, dtype=self.dtype, name="stage2")(y, train)
+        y = space_to_depth(x, 4)                                               # /4, 48ch
+        y = ConvBN(128, 3, 1, dtype=self.dtype, name="stem")(y, train)
+        f4 = C2f(128, 1, True, dtype=self.dtype, name="stage1")(y, train)      # /4
+        y = ConvBN(256, 3, 2, dtype=self.dtype, name="down2")(f4, train)       # /8
+        f8 = C2f(256, 1, True, dtype=self.dtype, name="stage2")(y, train)
         y = ConvBN(256, 3, 2, dtype=self.dtype, name="down3")(f8, train)       # /16
         f16 = C2f(256, 2, True, dtype=self.dtype, name="stage3")(y, train)
         key = ConvBN(KEY_DIM, 1, 1, act=False, dtype=self.dtype, name="key_proj")(
@@ -70,19 +83,19 @@ class ValueEncoder(nn.Module):
 
 
 class SensoryUpdater(nn.Module):
-    """GRU-style per-object sensory memory at stride 16 (XMem hidden-state analog)."""
+    """GRU-style per-object sensory memory at stride 16 (XMem hidden-state analog).
+    Both gates come from one fused conv (one MXU pass instead of two)."""
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden, feat, train: bool = False):
         x = jnp.concatenate([hidden, feat], axis=-1)
-        z = jax.nn.sigmoid(
-            ConvBN(SENSORY_DIM, 3, 1, act=False, dtype=self.dtype, name="update")(x, train)
-        )
-        r = jax.nn.sigmoid(
-            ConvBN(SENSORY_DIM, 3, 1, act=False, dtype=self.dtype, name="reset")(x, train)
-        )
+        gates = ConvBN(
+            2 * SENSORY_DIM, 3, 1, act=False, dtype=self.dtype, name="gates"
+        )(x, train)
+        z = jax.nn.sigmoid(gates[..., :SENSORY_DIM])
+        r = jax.nn.sigmoid(gates[..., SENSORY_DIM:])
         cand = jnp.tanh(
             ConvBN(SENSORY_DIM, 3, 1, act=False, dtype=self.dtype, name="cand")(
                 jnp.concatenate([r * hidden, feat], axis=-1), train
@@ -111,8 +124,8 @@ class MaskDecoder(nn.Module):
         f8 = ConvBN(128, 1, 1, dtype=self.dtype, name="skip8")(skips["f8"], train)
         x = ConvBN(128, 3, 1, dtype=self.dtype, name="dec8")(up(x), train)
         x = x + jnp.broadcast_to(f8[None], (No, *f8.shape))
-        f4 = ConvBN(64, 1, 1, dtype=self.dtype, name="skip4")(skips["f4"], train)
-        x = ConvBN(64, 3, 1, dtype=self.dtype, name="dec4")(up(x), train)
+        f4 = ConvBN(128, 1, 1, dtype=self.dtype, name="skip4")(skips["f4"], train)
+        x = ConvBN(128, 3, 1, dtype=self.dtype, name="dec4")(up(x), train)
         x = x + jnp.broadcast_to(f4[None], (No, *f4.shape))
         logits_s4 = nn.Conv(1, (1, 1), dtype=self.dtype, name="out")(x)  # (No, H4, W4, 1)
         logits = jax.image.resize(
@@ -169,11 +182,13 @@ def memory_readout(
     mem_valid,      # (T*H16*W16,) bool
     top_k: int = 30,
 ):
-    """Affinity softmax + top-k readout — the SURVEY §3.2 hot op.
+    """Affinity softmax + top-k readout — the SURVEY §3.2 hot op (XLA reference).
 
     Scaled dot-product affinity (one MXU matmul), top-k sparsification per query,
     softmax over the kept entries, then value gather-matmul per object.
-    A Pallas fused variant lives in ops/pallas/mem_attention.py.
+    NOTE: lax.top_k + gather is slow on TPU (sort + scatter); production paths use
+    ``memory_readout_dense`` / the Pallas flash variant — this stays as the
+    XMem-faithful numerics reference.
     """
     Ck = query_key.shape[-1]
     scale = Ck ** -0.5
@@ -185,6 +200,31 @@ def memory_readout(
     # gather values at topi: (No, Q, k, Cv) — contract over k
     gathered = mem_values[:, topi]                                # (No, Q, k, Cv)
     return jnp.einsum("qk,nqkc->nqc", w, gathered)                # (No, Q, Cv)
+
+
+def memory_readout_dense(query_key, mem_keys, mem_values, mem_valid):
+    """Dense full-softmax readout: two MXU matmuls, no sort/gather.
+
+    TPU-native replacement for the top-k path: affinity (Q, M) → masked softmax →
+    (Q, M) @ (No, M, Cv).  XLA fuses mask+softmax into the matmul epilogue; HBM
+    traffic is the (Q, M) weight matrix twice — bandwidth-bound but ~100× faster
+    than sort+gather at memory sizes used here.  The Pallas flash variant
+    (ops/pallas/mem_attention.py) streams it without materializing (Q, M)."""
+    Ck = query_key.shape[-1]
+    scale = Ck ** -0.5
+    aff = jnp.einsum(
+        "qc,mc->qm", query_key, mem_keys, preferred_element_type=jnp.float32
+    ) * scale
+    valid = mem_valid[None, :]
+    aff = jnp.where(valid, aff, -jnp.inf)
+    m = jnp.max(jnp.where(valid, aff, -jnp.inf), axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)  # all-invalid rows → zero readout
+    p = jnp.exp(aff - m) * valid
+    w = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-9)
+    return jnp.einsum(
+        "qm,nmc->nqc", w.astype(mem_values.dtype), mem_values,
+        preferred_element_type=jnp.float32,
+    ).astype(mem_values.dtype)
 
 
 def soft_aggregate(logits, active, eps: float = 1e-7):
