@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""`yolo`-style train / val / predict / export CLI.
+
+Replaces the reference's delegated ultralytics console scripts
+(docs/quickstart.md:48-64, pyproject.toml:27-29 of the reference):
+
+    python apps/yolo_cli.py train data=datasets/needle model=yolo10s-seg epochs=100 imgsz=640
+    python apps/yolo_cli.py val   data=datasets/needle model=ckpt_dir_or_name
+    python apps/yolo_cli.py predict model=yolo10s-seg source=img.jpg conf=0.35
+    python apps/yolo_cli.py export model=yolo10s-seg format=msgpack
+
+Multi-chip: train shards the batch over all local devices ('data' axis); the
+reference's `device=0,…,7` flag maps to the mesh size automatically.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_kv(args):
+    out = {}
+    for a in args:
+        if "=" not in a:
+            raise SystemExit(f"expected key=value, got '{a}'")
+        k, v = a.split("=", 1)
+        out[k] = v
+    return out
+
+
+def cmd_train(kv):
+    import jax
+
+    from yolo_puncture_tpu import create_model
+    from yolo_puncture_tpu.parallel.mesh import make_mesh
+    from yolo_puncture_tpu.train import Trainer
+    from yolo_puncture_tpu.train.data import SegDataset
+
+    data = kv.get("data", "datasets/needle")
+    model_name = kv.get("model", "yolo10s-seg").replace(".pt", "")
+    epochs = int(kv.get("epochs", 100))
+    imgsz = int(kv.get("imgsz", 640))
+    batch = int(kv.get("batch", 16))
+    nc = int(kv.get("nc", 1))
+    ckpt = kv.get("project", "runs/train")
+
+    model = create_model(model_name, nc=nc)
+    ds = SegDataset(data, split="train", imgsz=imgsz)
+    steps_per_epoch = max(1, len(ds) // batch)
+    # data-parallel over the largest device count that divides the batch
+    n_dev = len(jax.devices())
+    dp = max(d for d in range(1, n_dev + 1) if batch % d == 0 and d <= n_dev)
+    mesh = make_mesh((dp, 1), devices=jax.devices()[:dp]) if dp > 1 else None
+    trainer = Trainer(
+        model, nc=nc, imgsz=imgsz,
+        lr0=float(kv.get("lr0", 0.01)),
+        total_steps=epochs * steps_per_epoch,
+        warmup_steps=min(3 * steps_per_epoch, 1000),
+        mesh=mesh,
+    )
+    state = trainer.fit(ds, epochs=epochs, batch_size=batch, ckpt_dir=ckpt)
+    print(f"training done: {int(state.step)} steps; checkpoints in {ckpt}")
+    return state
+
+
+def cmd_val(kv):
+    import numpy as np
+
+    from yolo_puncture_tpu.predict import YOLO
+    from yolo_puncture_tpu.train.data import SegDataset
+    from yolo_puncture_tpu.train.metrics import compute_map
+
+    data = kv.get("data", "datasets/needle")
+    model_path = kv.get("model", "yolo10s-seg")
+    imgsz = int(kv.get("imgsz", 640))
+    conf = float(kv.get("conf", 0.001))
+    nc = int(kv.get("nc", 1))
+
+    det = YOLO(model_path, nc=nc)
+    ds = SegDataset(data, split="val", imgsz=imgsz, augment=False)
+    preds, gts = [], []
+    for i in range(len(ds)):
+        item = ds.load(i)
+        img_u8 = (item["images"][..., ::-1] * 255).astype(np.uint8)  # back to BGR
+        r = det.predict(source=img_u8, conf=conf, imgsz=imgsz, retina_masks=True)[0]
+        pred = {
+            "boxes": r.boxes.xyxy, "scores": r.boxes.conf, "classes": r.boxes.cls,
+        }
+        if r.masks is not None:
+            pred["masks"] = r.masks.data
+        preds.append(pred)
+        m = item["mask_gt"]
+        gt = {
+            "boxes": item["gt_bboxes"][m],
+            "classes": item["gt_labels"][m].astype(np.float32),
+        }
+        import cv2
+
+        gt["masks"] = np.stack(
+            [
+                cv2.resize(g, (imgsz, imgsz), interpolation=cv2.INTER_NEAREST)
+                for g in item["gt_masks"][m]
+            ]
+        ) if m.any() else np.zeros((0, imgsz, imgsz))
+        gts.append(gt)
+    box_m = compute_map(preds, gts, use_masks=False)
+    print(f"box  mAP50={box_m['map50']:.3f} mAP50-95={box_m['map50_95']:.3f}")
+    if all("masks" in p for p in preds):
+        mask_m = compute_map(preds, gts, use_masks=True)
+        print(f"mask mAP50={mask_m['map50']:.3f} mAP50-95={mask_m['map50_95']:.3f}")
+    return box_m
+
+
+def cmd_predict(kv):
+    from yolo_puncture_tpu.predict import YOLO
+
+    det = YOLO(kv.get("model", "yolo10s-seg"), nc=int(kv.get("nc", 1)))
+    results = det.predict(
+        source=kv["source"],
+        conf=float(kv.get("conf", 0.25)),
+        imgsz=int(kv.get("imgsz", 640)),
+        retina_masks=kv.get("retina_masks", "true").lower() == "true",
+    )
+    for r in results:
+        print(f"{r.path or '<array>'}: {len(r.boxes)} instances")
+        for i in range(len(r.boxes)):
+            print(f"  cls={int(r.boxes.cls[i])} conf={r.boxes.conf[i]:.3f} "
+                  f"xyxy={r.boxes.xyxy[i].round(1).tolist()}")
+    return results
+
+
+def cmd_export(kv):
+    """Export params: msgpack (flax serialization) or orbax dir."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from yolo_puncture_tpu.predict import YOLO
+
+    det = YOLO(kv.get("model", "yolo10s-seg"), nc=int(kv.get("nc", 1)))
+    fmt = kv.get("format", "msgpack")
+    out = kv.get("output", f"export_{os.path.basename(det.weights_path)}.{fmt}")
+    if fmt == "msgpack":
+        with open(out, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(det.variables)))
+    elif fmt == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(out), jax.device_get(det.variables), force=True)
+        ckptr.wait_until_finished()
+    else:
+        raise SystemExit(f"unknown format {fmt} (msgpack|orbax)")
+    print(f"exported to {out}")
+    return out
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return
+    cmd, kv = argv[0], parse_kv(argv[1:])
+    return {"train": cmd_train, "val": cmd_val, "predict": cmd_predict,
+            "export": cmd_export}[cmd](kv)
+
+
+if __name__ == "__main__":
+    main()

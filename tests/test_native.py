@@ -1,0 +1,54 @@
+"""Native C++ geometry vs cv2/numpy references."""
+
+import cv2
+import numpy as np
+import pytest
+
+from yolo_puncture_tpu.native import (
+    get_lib,
+    largest_contour_native,
+    min_area_rect_native,
+    rle_encode_native,
+)
+from yolo_puncture_tpu.ops import geometry
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="g++ build unavailable")
+
+rng = np.random.default_rng(3)
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_native_min_area_rect_matches_cv2(trial):
+    n = int(rng.integers(3, 50))
+    pts = rng.uniform(0, 300, size=(n, 2)).astype(np.int32)
+    res = min_area_rect_native(pts.astype(np.float64))
+    (_, (w1, h1), _) = res
+    (_, (w2, h2), _) = cv2.minAreaRect(pts)
+    # minimum AREA is unique; the (w, h) split can differ on exact-tie inputs
+    assert w1 * h1 == pytest.approx(w2 * h2, rel=1e-6, abs=1e-3)
+
+
+def test_native_contour_covers_mask_boundary():
+    mask = np.zeros((40, 60), np.uint8)
+    mask[10:30, 15:45] = 1
+    c = largest_contour_native(mask)
+    assert c is not None and len(c) >= 4
+    # all contour points lie on the rectangle border
+    xs, ys = c[:, 0], c[:, 1]
+    assert xs.min() == 15 and xs.max() == 44
+    assert ys.min() == 10 and ys.max() == 29
+    # min-rect length from the native contour matches the mask geometry
+    length, _ = geometry.min_rect_len(c.astype(np.float32))
+    assert length == pytest.approx(29, abs=1.0)
+
+
+def test_native_rle_matches_python():
+    seg = (rng.uniform(size=(17, 23)) > 0.6).astype(np.uint8)
+    ours = rle_encode_native(seg)
+    ref = geometry.rle_encoding(seg)
+    assert ours == ref
+
+
+def test_native_rle_empty_and_full():
+    assert rle_encode_native(np.zeros((4, 4), np.uint8)) == []
+    assert rle_encode_native(np.ones(5, np.uint8)) == [1, 5]

@@ -63,8 +63,20 @@ def min_area_rect(points: np.ndarray) -> Tuple[Tuple[float, float], Tuple[float,
 
     Returns ((cx, cy), (w, h), angle_deg) — the cv2.minAreaRect return structure.
     Rotating calipers: the optimal rectangle has a side collinear with a hull edge.
+    Uses the native C++ extension when built (same algorithm, ~10× faster on the
+    per-frame path); falls back to the vectorized numpy version.
     """
-    hull = convex_hull(np.asarray(points, dtype=np.float64).reshape(-1, 2))
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    if len(pts) >= 3:
+        try:
+            from yolo_puncture_tpu.native import min_area_rect_native
+
+            res = min_area_rect_native(pts)
+            if res is not None:
+                return res
+        except Exception:
+            pass
+    hull = convex_hull(pts)
     if len(hull) == 0:
         return ((0.0, 0.0), (0.0, 0.0), 0.0)
     if len(hull) == 1:
