@@ -67,6 +67,9 @@ class VideoSpeedPipeline:
         self.crop_size = crop_size
         self.dtype = dtype
         self._compiled: Dict[Tuple, Any] = {}
+        from yolo_puncture_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     def _step_fn(self, orig_hw: Tuple[int, int]):
@@ -178,9 +181,10 @@ class VideoSpeedPipeline:
             if step is None:
                 step = self._step_fn(arr.shape[1:3])
             cls_vars = self.classifier.variables if self.classifier else None
-            out = jax.device_get(
-                step(self.detector.variables, cls_vars, jnp.asarray(arr), jnp.float32(conf))
-            )
+            with self.timer.stage("device_batch"):
+                out = jax.device_get(
+                    step(self.detector.variables, cls_vars, jnp.asarray(arr), jnp.float32(conf))
+                )
             for i in range(n):
                 rec = {}
                 for k, v in out.items():
@@ -204,6 +208,8 @@ class VideoSpeedPipeline:
             return PipelineOutput(None, None, None, [], [], [], [], [], fps)
 
         # host pass: last-box/last-length fallback chain (app.py:106-112)
+        host_timer = self.timer.stage("host_geometry")
+        host_timer.__enter__()
         lens: List[float] = []
         boxes: List[Tuple[int, int, int, int]] = []
         detected: List[bool] = []
@@ -231,6 +237,7 @@ class VideoSpeedPipeline:
                 boxes.append(last_box if last_box is not None else (0, 0, w0, h0))
                 lens.append(last_len)
                 detected.append(False)
+        host_timer.__exit__(None, None, None)
 
         # classifier outputs
         if self.classifier is not None:

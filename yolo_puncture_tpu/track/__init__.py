@@ -28,9 +28,12 @@ def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480):
 
     # benchmark geometry: 4 object slots (puncture videos track 1-2 needles),
     # 8-frame working memory (DEVA max_mid_term_frames default is 10)
+    # long-term memory stays off: the reference enables it only when
+    # vid_length/(max_mid−min_mid)·num_prototypes ≥ max_long_term_elements
+    # (yolo_with_deva.py:242-245) — false for streaming 32-frame windows.
     core = TrackerCore(
         image_size=(min_side, min_side), max_objects=4, mem_frames=8,
-        dtype=dtype or jnp.float32,
+        enable_long_term=False, dtype=dtype or jnp.float32,
     )
     # seed one active object so readout/decode do real work
     import numpy as np
@@ -61,16 +64,7 @@ def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480):
         def body(memory, inp):
             key, f4, f8, f16 = inp
             skips0 = {"f4": f4, "f8": f8, "f16": f16}
-            q = key.reshape(-1, key.shape[-1])
-            T, HW = memory.keys.shape[:2]
-            from yolo_puncture_tpu.track.network import memory_readout_dense
-
-            readout = memory_readout_dense(
-                q,
-                memory.keys.reshape(T * HW, -1),
-                memory.values.reshape(core.max_objects, T * HW, -1),
-                jnp.repeat(memory.valid, HW),
-            ).reshape(core.max_objects, core.h16, core.w16, -1)
+            readout, memory = core._read(key, memory)
             prob, sensory = core._decode_and_update(variables, memory, skips0, readout)
             memory = memory._replace(sensory=sensory)
             do_write = (memory.frame_idx % core.mem_every == 0) & jnp.any(memory.active)

@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolo_puncture_tpu.track.memory import MemoryState, init_memory, write_memory
+from yolo_puncture_tpu.track.memory import (
+    MemoryState,
+    consolidate,
+    init_memory,
+    write_memory,
+)
 from yolo_puncture_tpu.track.network import (
     PropagationNetwork,
     SENSORY_DIM,
@@ -122,17 +127,28 @@ class TrackerCore:
         mem_frames: int = 16,
         mem_every: int = 5,
         top_k: int = 30,
+        num_prototypes: int = 128,
+        max_long_term_elements: int = 4096,
+        enable_long_term: bool = True,
         dtype=jnp.float32,
         seed: int = 0,
     ):
         self.config = config or {}
         self.mem_every = int(self.config.get("mem_every", mem_every))
         self.top_k = int(self.config.get("top_k", top_k))
+        self.num_prototypes = int(self.config.get("num_prototypes", num_prototypes))
+        self.enable_long_term = bool(self.config.get("enable_long_term", enable_long_term))
+        lt_capacity = min(
+            int(self.config.get("max_long_term_elements", max_long_term_elements)), 8192
+        )
+        if not self.enable_long_term:
+            lt_capacity = 8  # vestigial slots (never valid) keep shapes uniform
         self.max_objects = max_objects
         h, w = image_size
         assert h % 16 == 0 and w % 16 == 0, "image_size must be /16"
         self.image_size = (h, w)
         self.h16, self.w16 = h // 16, w // 16
+        self.num_prototypes = min(self.num_prototypes, self.h16 * self.w16)
         self.net = PropagationNetwork(dtype=dtype)
         if variables is None:
             variables = self.net.init(
@@ -142,7 +158,8 @@ class TrackerCore:
         # memory lives in the compute dtype (bf16 halves readout-matmul cost and
         # HBM traffic; softmax statistics stay fp32 inside the readout)
         self.memory: MemoryState = init_memory(
-            self.h16, self.w16, max_objects, mem_frames, dtype
+            self.h16, self.w16, max_objects, mem_frames, dtype,
+            num_prototypes=lt_capacity,
         )
         self.object_manager = ObjectManager(max_objects)
 
@@ -163,16 +180,31 @@ class TrackerCore:
         key, skips = self.net.apply(
             variables, image[None], method=PropagationNetwork.encode_key
         )
-        q = key[0].reshape(-1, key.shape[-1])
-        T, HW = memory.keys.shape[:2]
-        mem_keys = memory.keys.reshape(T * HW, -1)
-        mem_vals = memory.values.reshape(self.max_objects, T * HW, -1)
-        mem_valid = jnp.repeat(memory.valid, HW)
-        # dense MXU readout (no sort/gather) — see network.memory_readout_dense
-        readout = memory_readout_dense(q, mem_keys, mem_vals, mem_valid)
-        readout = readout.reshape(self.max_objects, self.h16, self.w16, -1)
         skips0 = {k: v[0] for k, v in skips.items()}
-        return key[0], skips0, readout
+        readout, memory = self._read(key[0], memory)
+        return key[0], skips0, readout, memory
+
+    def _read(self, key, memory: MemoryState):
+        """Dense MXU readout over [working ring ‖ long-term prototypes];
+        accumulates attention usage on the working entries (consolidation signal)."""
+        q = key.reshape(-1, key.shape[-1])
+        T, HW = memory.keys.shape[:2]
+        mem_keys = jnp.concatenate(
+            [memory.keys.reshape(T * HW, -1), memory.lt_keys], axis=0
+        )
+        mem_vals = jnp.concatenate(
+            [memory.values.reshape(self.max_objects, T * HW, -1), memory.lt_values],
+            axis=1,
+        )
+        mem_valid = jnp.concatenate([jnp.repeat(memory.valid, HW), memory.lt_valid])
+        readout, usage = memory_readout_dense(
+            q, mem_keys, mem_vals, mem_valid, return_usage=True
+        )
+        memory = memory._replace(
+            usage=memory.usage + usage[: T * HW].reshape(T, HW)
+        )
+        readout = readout.reshape(self.max_objects, self.h16, self.w16, -1)
+        return readout, memory
 
     def _decode_and_update(self, variables, memory, skips0, readout):
         logits, hidden_feat = self.net.apply(
@@ -203,10 +235,15 @@ class TrackerCore:
         return jax.lax.cond(do_write, compute_and_write, lambda m: m, memory)
 
     def _step_impl(self, variables, memory: MemoryState, image):
-        key, skips0, readout = self._encode_and_read(variables, image, memory)
+        key, skips0, readout, memory = self._encode_and_read(variables, image, memory)
         prob, sensory = self._decode_and_update(variables, memory, skips0, readout)
         memory = memory._replace(sensory=sensory)
         do_write = (memory.frame_idx % self.mem_every == 0) & jnp.any(memory.active)
+        # long-term consolidation: before overwriting an occupied ring slot,
+        # compact its top-usage elements into the prototype bank (SURVEY §5.7)
+        if self.enable_long_term:
+            occupied = memory.valid[memory.write_pos]
+            memory = consolidate(memory, self.num_prototypes, do_write & occupied)
         memory = self._write(variables, memory, key, skips0, prob, do_write)
         memory = memory._replace(frame_idx=memory.frame_idx + 1)
         return prob, memory
@@ -214,7 +251,7 @@ class TrackerCore:
     def _incorporate_impl(self, variables, memory: MemoryState, image, det_onehot, det_valid):
         """det_onehot: (No_slots, H, W) float — detection masks stacked into slots
         (slot order arbitrary); det_valid: (No_slots,) bool."""
-        key, skips0, readout = self._encode_and_read(variables, image, memory)
+        key, skips0, readout, memory = self._encode_and_read(variables, image, memory)
         prob, sensory = self._decode_and_update(variables, memory, skips0, readout)
 
         prop_masks = (prob[1:] > 0.5).astype(jnp.float32)  # (No, H, W)

@@ -22,17 +22,27 @@ from yolo_puncture_tpu.track.network import KEY_DIM, SENSORY_DIM, VALUE_DIM
 
 
 class MemoryState(NamedTuple):
-    keys: jax.Array       # (T, HW, Ck)
+    keys: jax.Array       # (T, HW, Ck)   — working (mid-term) ring
     values: jax.Array     # (No, T, HW, Cv)
     valid: jax.Array      # (T,) bool — slot filled
     write_pos: jax.Array  # () int32 — next ring slot
+    usage: jax.Array      # (T, HW) fp32 — accumulated attention mass per element
+    lt_keys: jax.Array    # (P, Ck)       — long-term prototype bank
+    lt_values: jax.Array  # (No, P, Cv)
+    lt_valid: jax.Array   # (P,) bool
+    lt_pos: jax.Array     # () int32 — next long-term write position
     sensory: jax.Array    # (No, H16, W16, Cs)
     active: jax.Array     # (No,) bool — object slot in use
     frame_idx: jax.Array  # () int32
 
 
 def init_memory(
-    h16: int, w16: int, max_objects: int, mem_frames: int, dtype=jnp.float32
+    h16: int,
+    w16: int,
+    max_objects: int,
+    mem_frames: int,
+    dtype=jnp.float32,
+    num_prototypes: int = 128,
 ) -> MemoryState:
     hw = h16 * w16
     return MemoryState(
@@ -40,10 +50,53 @@ def init_memory(
         values=jnp.zeros((max_objects, mem_frames, hw, VALUE_DIM), dtype),
         valid=jnp.zeros((mem_frames,), bool),
         write_pos=jnp.zeros((), jnp.int32),
+        usage=jnp.zeros((mem_frames, hw), jnp.float32),
+        lt_keys=jnp.zeros((num_prototypes, KEY_DIM), dtype),
+        lt_values=jnp.zeros((max_objects, num_prototypes, VALUE_DIM), dtype),
+        lt_valid=jnp.zeros((num_prototypes,), bool),
+        lt_pos=jnp.zeros((), jnp.int32),
         sensory=jnp.zeros((max_objects, h16, w16, SENSORY_DIM), dtype),
         active=jnp.zeros((max_objects,), bool),
         frame_idx=jnp.zeros((), jnp.int32),
     )
+
+
+def consolidate(state: MemoryState, n_move: int, do_it) -> MemoryState:
+    """Long-term consolidation (DEVA/XMem memory compaction, SURVEY.md §5.7):
+    compress the OLDEST working-ring slot into ``n_move`` prototypes chosen by
+    accumulated attention usage, append them to the long-term bank (FIFO), and
+    free the slot.
+
+    Runs inside the jitted step under ``do_it`` (typically: ring about to wrap).
+    top_k here is over one frame's HW elements and fires once per mem_every·T
+    frames — negligible amortized cost.
+    """
+
+    def run(state: MemoryState) -> MemoryState:
+        oldest = state.write_pos  # next overwrite target == oldest slot when full
+        usage = state.usage[oldest]                       # (HW,)
+        k = n_move
+        _, idx = jax.lax.top_k(usage, k)                  # (k,)
+        proto_keys = state.keys[oldest][idx]              # (k, Ck)
+        proto_vals = state.values[:, oldest][:, idx]      # (No, k, Cv)
+
+        P = state.lt_keys.shape[0]
+        pos = state.lt_pos
+        # FIFO write of k prototypes with wraparound
+        slots = (pos + jnp.arange(k)) % P
+        lt_keys = state.lt_keys.at[slots].set(proto_keys)
+        lt_values = state.lt_values.at[:, slots].set(proto_vals)
+        lt_valid = state.lt_valid.at[slots].set(True)
+        return state._replace(
+            lt_keys=lt_keys,
+            lt_values=lt_values,
+            lt_valid=lt_valid,
+            lt_pos=(pos + k) % P,
+            valid=state.valid.at[oldest].set(False),
+            usage=state.usage.at[oldest].set(0.0),
+        )
+
+    return jax.lax.cond(do_it, run, lambda s: s, state)
 
 
 def write_memory(

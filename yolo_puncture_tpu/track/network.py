@@ -202,7 +202,7 @@ def memory_readout(
     return jnp.einsum("qk,nqkc->nqc", w, gathered)                # (No, Q, Cv)
 
 
-def memory_readout_dense(query_key, mem_keys, mem_values, mem_valid):
+def memory_readout_dense(query_key, mem_keys, mem_values, mem_valid, return_usage=False):
     """Dense full-softmax readout: two MXU matmuls, no sort/gather.
 
     TPU-native replacement for the top-k path: affinity (Q, M) → masked softmax →
@@ -221,10 +221,14 @@ def memory_readout_dense(query_key, mem_keys, mem_values, mem_valid):
     m = jnp.where(jnp.isfinite(m), m, 0.0)  # all-invalid rows → zero readout
     p = jnp.exp(aff - m) * valid
     w = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-9)
-    return jnp.einsum(
+    out = jnp.einsum(
         "qm,nmc->nqc", w.astype(mem_values.dtype), mem_values,
         preferred_element_type=jnp.float32,
     ).astype(mem_values.dtype)
+    if return_usage:
+        # per-memory-element attention mass (long-term consolidation signal)
+        return out, jnp.sum(w, axis=0).astype(jnp.float32)
+    return out
 
 
 def soft_aggregate(logits, active, eps: float = 1e-7):
