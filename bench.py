@@ -44,14 +44,15 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
     )
 
-    tracker_step = None
+    track_fn = None
     if track:
         try:
             from yolo_puncture_tpu.track import build_bench_tracker
 
-            tracker_step = build_bench_tracker(imgsz=imgsz, dtype=jnp.bfloat16)
+            # un-jitted: fuses into the SAME XLA program as the detector below
+            track_fn = build_bench_tracker(imgsz=imgsz, dtype=jnp.bfloat16, jit=False)
         except Exception:
-            tracker_step = None
+            track_fn = None
 
     @jax.jit
     def step(variables, frames_u8, conf):
@@ -62,12 +63,16 @@ def main():
             out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],
             (imgsz, imgsz), upsample=True, threshold=0.5,
         )
-        return {
+        result = {
             "boxes": det["boxes"][:, 0],
             "scores": det["scores"][:, 0],
             "valid": det["valid"][:, 0],
             "mask": masks[:, 0].astype(jnp.uint8),
         }
+        if track_fn is not None:
+            # DEVA propagation over the same frame batch, one fused program
+            result["track_ids"] = track_fn(frames_u8)
+        return result
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -78,21 +83,17 @@ def main():
     # warmup / compile
     out = step(variables, frames, conf)
     jax.block_until_ready(out)
-    if tracker_step is not None:
-        jax.block_until_ready(tracker_step(frames))
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(variables, frames, conf)
-        if tracker_step is not None:
-            out = {**out, "track": tracker_step(frames)}
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
     result = {
         "metric": "frames/sec/chip at 640x640 (YOLOv10-S seg"
-        + ("+DEVA" if tracker_step is not None else "")
+        + ("+DEVA" if track_fn is not None else "")
         + ")",
         "value": round(fps, 1),
         "unit": "frames/sec",

@@ -12,7 +12,7 @@ from yolo_puncture_tpu.track.saver import (  # noqa: F401
 from yolo_puncture_tpu.track.memory import MemoryState, init_memory  # noqa: F401
 
 
-def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480):
+def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480, jit: bool = True):
     """Benchmark helper: jitted sequential propagation over a frame batch.
 
     Returns fn(frames_u8 (B, H, W, 3)) → per-frame prob argmax (B, h, w) int32,
@@ -44,7 +44,6 @@ def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480):
 
     from yolo_puncture_tpu.track.network import PropagationNetwork
 
-    @jax.jit
     def run(frames_u8):
         B = frames_u8.shape[0]
         imgs = (
@@ -77,4 +76,4 @@ def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480):
         )
         return ids
 
-    return run
+    return jax.jit(run) if jit else run

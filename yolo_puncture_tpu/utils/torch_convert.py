@@ -159,7 +159,7 @@ def convert_tensor(torch_key: str, arr: np.ndarray, target_shape) -> np.ndarray:
 _HEAD_NESTED = re.compile(r"(one2one_)?cv([234])\.(\d+)\.(\d+)\.(\d+)\.(conv|bn)\.")
 _HEAD_FLAT = re.compile(r"(one2one_)?cv([234])\.(\d+)\.(\d+)\.(conv|bn)\.")
 _HEAD_FINAL = re.compile(r"(one2one_)?cv([234])\.(\d+)\.(\d+)\.(weight|bias)$")
-_CIB_SEQ = re.compile(r"cv1\.(\d+)\.(conv|bn)\.")
+_CIB_SEQ = re.compile(r"cv1\.(\d+)\.")  # CIB Sequential (incl. nested RepVGGDW)
 _M_IDX = re.compile(r"(?:^|(?<=\.))m\.(\d+)\.")
 _FFN_IDX = re.compile(r"ffn\.(\d+)\.")
 _MODEL_IDX = re.compile(r"^model\.(\d+)\.")
@@ -190,7 +190,7 @@ def map_yolo_key(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
         lambda m: f"{m.group(1) or ''}cv{m.group(2)}_{m.group(3)}.c{m.group(4)}.{m.group(5)}",
         k,
     )
-    k = _CIB_SEQ.sub(lambda m: f"cv1_{m.group(1)}.{m.group(2)}.", k)
+    k = _CIB_SEQ.sub(lambda m: f"cv1_{m.group(1)}.", k)
     k = _FFN_IDX.sub(lambda m: f"ffn_{m.group(1)}.", k)
 
     parts = k.split(".")
@@ -347,6 +347,62 @@ def convert_classifier_state_dict(
     if stats_flat:
         variables["batch_stats"] = _unflatten(new_stats)
     return jax.tree.map(lambda x: x, variables), report
+
+
+_INV_HEAD_NESTED = re.compile(r"(one2one_)?cv([234])_(\d+)\.c(\d+)_(\d+)\.")
+_INV_HEAD_FLAT = re.compile(r"(one2one_)?cv([234])_(\d+)\.c(\d+)\.")
+_INV_CIB = re.compile(r"cv1_(\d+)\.")
+_INV_M = re.compile(r"(?:^|(?<=\.))m_(\d+)\.")
+_INV_FFN = re.compile(r"ffn_(\d+)\.")
+_INV_MODEL = re.compile(r"^model_(\d+)\.")
+
+
+def yolo_flax_path_to_torch_key(path, leaf: str) -> str:
+    """Inverse of map_yolo_key: flax module path + leaf → ultralytics key name.
+
+    Used to export checkpoints in torch naming and to verify full-coverage
+    conversion (every flax leaf must round-trip).
+    """
+    k = ".".join(path) + "."
+    k = _INV_MODEL.sub(lambda m: f"model.{m.group(1)}.", k)
+    k = _INV_HEAD_NESTED.sub(
+        lambda m: f"{m.group(1) or ''}cv{m.group(2)}.{m.group(3)}.{m.group(4)}.{m.group(5)}.",
+        k,
+    )
+    k = _INV_HEAD_FLAT.sub(
+        lambda m: f"{m.group(1) or ''}cv{m.group(2)}.{m.group(3)}.{m.group(4)}.", k
+    )
+    k = _INV_CIB.sub(lambda m: f"cv1.{m.group(1)}.", k)
+    k = _INV_M.sub(lambda m: f"m.{m.group(1)}.", k)
+    k = _INV_FFN.sub(lambda m: f"ffn.{m.group(1)}.", k)
+    leaf_map = {
+        "kernel": "weight",
+        "scale": "weight",
+        "bias": "bias",
+        "mean": "running_mean",
+        "var": "running_var",
+    }
+    return k + leaf_map[leaf]
+
+
+def export_yolo_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Flax YOLO variables → torch-layout state dict with ultralytics naming."""
+    out: Dict[str, np.ndarray] = {}
+    for coll, tree in (("params", variables["params"]),
+                       ("stats", variables.get("batch_stats", {}))):
+        for path, arr in _flatten(dict(tree)).items():
+            leaf = path[-1]
+            tkey = yolo_flax_path_to_torch_key(path[:-1], leaf)
+            a = np.asarray(arr)
+            if leaf == "kernel" and a.ndim == 4:
+                if path[-2] == "upsample":
+                    a = np.ascontiguousarray(a[::-1, ::-1].transpose(2, 3, 0, 1))
+                else:
+                    a = a.transpose(3, 2, 0, 1)
+            elif leaf == "kernel" and a.ndim == 2:
+                a = a.T
+            out[tkey] = a
+    return out
 
 
 def load_ultralytics_checkpoint(path: str, model, strict: bool = False):
