@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""Headline benchmark: frames/sec/chip, YOLOv10-S seg end-to-end at 640×640.
+"""Headline benchmark: frames/sec/chip, YOLOv10-S seg + DEVA propagation, 640×640.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = value / 500 (BASELINE.json north star: ≥500 frames/sec/chip on
-TPU v5e for YOLOv10-S seg(+DEVA)).
+TPU v5e for YOLOv10-S seg+DEVA).
 
-The measured program is the fused device pipeline (ops cited in SURVEY.md §7):
-uint8 frames → letterbox → YOLOv10-S seg forward (bf16) → NMS-free top-k →
-proto-mask decode of the best instance → per-frame box/len outputs.  Steady-state
-timing over the real chip; host transfer is only the per-frame scalars + one
-letterbox-res mask per frame.
+Protocol: streaming video.  Each iteration processes one batch of frames through
+TWO one-executable device programs — (1) the fused detector pipeline (letterbox →
+YOLOv10-S seg forward bf16 → NMS-free top-k → proto-mask decode of the best
+instance) and (2) the DEVA-style propagation (batched key encoding + sequential
+memory scan) whose ring-buffer memory is carried ACROSS batches (true stateful
+streaming, reference semantics).  Timed steady-state on the real chip.
 """
 
 import json
@@ -44,18 +45,18 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
     )
 
-    track_fn = None
+    mem = track_fn = None
     if track:
         try:
             from yolo_puncture_tpu.track import build_bench_tracker
 
-            # un-jitted: fuses into the SAME XLA program as the detector below
-            track_fn = build_bench_tracker(imgsz=imgsz, dtype=jnp.bfloat16, jit=False)
-        except Exception:
+            mem, track_fn = build_bench_tracker(imgsz=imgsz, dtype=jnp.bfloat16)
+        except Exception as e:  # tracker unavailable → detector-only bench
+            print(f"# tracker disabled: {e}", file=sys.stderr)
             track_fn = None
 
     @jax.jit
-    def step(variables, frames_u8, conf):
+    def det_step(variables, frames_u8, conf):
         imgs, r, pad = letterbox(frames_u8[..., ::-1], imgsz, dtype=jnp.bfloat16)
         out = model.apply(variables, imgs)
         det = select_detections(out, nms_free=True, conf_thres=conf, max_det=8)
@@ -63,16 +64,12 @@ def main():
             out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],
             (imgsz, imgsz), upsample=True, threshold=0.5,
         )
-        result = {
+        return {
             "boxes": det["boxes"][:, 0],
             "scores": det["scores"][:, 0],
             "valid": det["valid"][:, 0],
             "mask": masks[:, 0].astype(jnp.uint8),
         }
-        if track_fn is not None:
-            # DEVA propagation over the same frame batch, one fused program
-            result["track_ids"] = track_fn(frames_u8)
-        return result
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -81,13 +78,20 @@ def main():
     conf = jnp.float32(0.25)
 
     # warmup / compile
-    out = step(variables, frames, conf)
+    out = det_step(variables, frames, conf)
     jax.block_until_ready(out)
+    if track_fn is not None:
+        mem, ids = track_fn(mem, frames)
+        jax.block_until_ready(ids)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(variables, frames, conf)
+        out = det_step(variables, frames, conf)
+        if track_fn is not None:
+            mem, ids = track_fn(mem, frames)
     jax.block_until_ready(out)
+    if track_fn is not None:
+        jax.block_until_ready(ids)
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

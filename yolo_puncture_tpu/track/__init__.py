@@ -13,38 +13,35 @@ from yolo_puncture_tpu.track.memory import MemoryState, init_memory  # noqa: F40
 
 
 def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480, jit: bool = True):
-    """Benchmark helper: jitted sequential propagation over a frame batch.
+    """Benchmark helper: STREAMING propagation over frame batches.
 
-    Returns fn(frames_u8 (B, H, W, 3)) → per-frame prob argmax (B, h, w) int32,
-    scanning the tracker step over the batch (DEVA propagation is sequential —
-    the scan keeps the ring-buffer memory as carry, all on device).
+    Returns (initial_memory, fn(memory, frames_u8) → (memory, ids)) so the caller
+    carries the ring-buffer memory across batches — true streaming like the
+    reference's stateful DEVA loop — and every batch reuses ONE executable.
 
-    Geometry matches the reference DEVA stage: the tracker input is resized to
-    min-side ``size=480`` (yolo_with_deva.py get_input_frame_for_deva contract),
-    independent of the detector's 640² letterbox.
+    TPU structure: the frame-independent key encoder runs batched over all B
+    frames in one pass (MXU-efficient); only the memory-dependent readout →
+    decode → sensory → ring-write scans sequentially.  Geometry matches the
+    reference DEVA stage (min-side size=480 input, yolo_with_deva.py
+    get_input_frame_for_deva), independent of the detector's 640² letterbox.
+    Long-term memory stays off per the reference's enablement formula for short
+    windows (yolo_with_deva.py:242-245).
     """
     import jax
     import jax.numpy as jnp
 
-    # benchmark geometry: 4 object slots (puncture videos track 1-2 needles),
-    # 8-frame working memory (DEVA max_mid_term_frames default is 10)
-    # long-term memory stays off: the reference enables it only when
-    # vid_length/(max_mid−min_mid)·num_prototypes ≥ max_long_term_elements
-    # (yolo_with_deva.py:242-245) — false for streaming 32-frame windows.
     core = TrackerCore(
         image_size=(min_side, min_side), max_objects=4, mem_frames=8,
         enable_long_term=False, dtype=dtype or jnp.float32,
     )
     # seed one active object so readout/decode do real work
-    import numpy as np
-
-    mem = core.memory._replace(active=core.memory.active.at[0].set(True))
+    mem0 = core.memory._replace(active=core.memory.active.at[0].set(True))
     variables = core.variables
     h, w = core.image_size
 
     from yolo_puncture_tpu.track.network import PropagationNetwork
 
-    def run(frames_u8):
+    def run(memory, frames_u8):
         B = frames_u8.shape[0]
         imgs = (
             jax.image.resize(
@@ -52,10 +49,6 @@ def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480, jit: 
             )
             / 255.0
         )
-        # frame-INDEPENDENT work batched over all frames in one pass: the key
-        # encoder is ~40% of the per-frame step; at B=32 it amortizes per-op
-        # overhead and fills the MXU.  Only the memory-dependent readout →
-        # decode → sensory → ring-write stays sequential (lax.scan).
         keys, skips = core.net.apply(
             variables, imgs, method=PropagationNetwork.encode_key
         )
@@ -71,9 +64,11 @@ def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480, jit: 
             memory = memory._replace(frame_idx=memory.frame_idx + 1)
             return memory, jnp.argmax(prob, axis=0).astype(jnp.int32)
 
-        _, ids = jax.lax.scan(
-            body, mem, (keys, skips["f4"], skips["f8"], skips["f16"])
+        memory, ids = jax.lax.scan(
+            body, memory, (keys, skips["f4"], skips["f8"], skips["f16"])
         )
-        return ids
+        return memory, ids
 
-    return jax.jit(run) if jit else run
+    if jit:
+        return mem0, jax.jit(run, donate_argnums=(0,))
+    return mem0, run

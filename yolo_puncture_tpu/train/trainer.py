@@ -28,6 +28,7 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    ema_params: Any = None  # exponential moving average (ultralytics ModelEMA analog)
 
 
 def lr_schedule(lr0: float, lrf: float, total_steps: int, warmup_steps: int):
@@ -57,6 +58,8 @@ class Trainer:
         warmup_steps: int = 300,
         hyp: Optional[Dict[str, float]] = None,
         mesh=None,
+        ema_decay: float = 0.9999,
+        use_ema: bool = True,
         seed: int = 0,
     ):
         self.model = model
@@ -69,6 +72,8 @@ class Trainer:
             optax.add_decayed_weights(weight_decay),
             optax.sgd(learning_rate=self.schedule, momentum=momentum, nesterov=True),
         )
+        self.ema_decay = ema_decay
+        self.use_ema = use_ema
         self._seed = seed
         self._step_fn = None
 
@@ -83,6 +88,7 @@ class Trainer:
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
+            ema_params=jax.tree.map(jnp.copy, params) if self.use_ema else None,
         )
 
     def _build_step(self):
@@ -107,11 +113,17 @@ class Trainer:
             )(state.params, state.batch_stats, batch)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            ema = state.ema_params
+            if ema is not None:
+                # ultralytics ModelEMA ramp: d = decay·(1 − e^(−step/2000))
+                d = self.ema_decay * (1.0 - jnp.exp(-(state.step + 1) / 2000.0))
+                ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
             new_state = TrainState(
                 params=params,
                 batch_stats=new_stats if new_stats else state.batch_stats,
                 opt_state=opt_state,
                 step=state.step + 1,
+                ema_params=ema,
             )
             metrics = {k: v for k, v in losses.items()}
             metrics["lr"] = self.schedule(state.step)
@@ -155,13 +167,24 @@ class Trainer:
         log_every: int = 10,
         ckpt_dir: Optional[str] = None,
         ckpt_every: int = 1000,
+        resume: Optional[str] = None,
     ) -> TrainState:
         state = None
         step = 0
+        restored = self.load_checkpoint(resume) if resume else None
         for epoch in range(epochs):
             for batch in dataset.batches(batch_size):
                 if state is None:
                     state = self.init_state(batch)
+                    if restored is not None:
+                        state = state.replace(
+                            params=jax.tree.map(jnp.asarray, restored["params"]),
+                            batch_stats=jax.tree.map(
+                                jnp.asarray, restored.get("batch_stats", {})
+                            ),
+                            step=jnp.asarray(restored.get("step", 0), jnp.int32),
+                        )
+                        step = int(state.step)
                 state, metrics = self.train_step(state, batch)
                 step += 1
                 if step % log_every == 0:
@@ -184,15 +207,14 @@ class Trainer:
 
         path = os.path.abspath(os.path.join(ckpt_dir, f"step_{int(state.step)}"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            path,
-            {
-                "params": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.batch_stats),
-                "step": int(state.step),
-            },
-            force=True,
-        )
+        payload = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "step": int(state.step),
+        }
+        if state.ema_params is not None:
+            payload["ema_params"] = jax.device_get(state.ema_params)
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         return path
 
