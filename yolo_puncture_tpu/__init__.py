@@ -21,3 +21,12 @@ from yolo_puncture_tpu.registry import create_model, register_model, list_models
 
 # Populate the registry.
 from yolo_puncture_tpu import models as _models  # noqa: E402,F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing the predict stack eagerly)
+    if name == "YOLO":
+        from yolo_puncture_tpu.predict import YOLO
+
+        return YOLO
+    raise AttributeError(name)

@@ -109,7 +109,7 @@ class YOLO:
         max_det, max_masks = self.max_det, self.max_masks
         task = self.task
 
-        @functools.partial(jax.jit, static_argnums=())
+        @jax.jit
         def run(variables, frames_u8, conf, iou):
             # BGR (cv2 convention, reference passes cv2 frames) → RGB on device
             frames = frames_u8[..., ::-1]

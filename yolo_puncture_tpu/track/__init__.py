@@ -57,16 +57,21 @@ def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480, jit: 
             key, f4, f8, f16 = inp
             skips0 = {"f4": f4, "f8": f8, "f16": f16}
             readout, memory = core._read(key, memory)
-            prob, sensory = core._decode_and_update(variables, memory, skips0, readout)
+            # decode at stride 4: full-res upsample happens ONCE, batched, below
+            prob_s4, sensory = core._decode_and_update(
+                variables, memory, skips0, readout, full_res=False
+            )
             memory = memory._replace(sensory=sensory)
             do_write = (memory.frame_idx % core.mem_every == 0) & jnp.any(memory.active)
-            memory = core._write(variables, memory, key, skips0, prob, do_write)
+            memory = core._write(variables, memory, key, skips0, prob_s4, do_write)
             memory = memory._replace(frame_idx=memory.frame_idx + 1)
-            return memory, jnp.argmax(prob, axis=0).astype(jnp.int32)
+            return memory, jnp.argmax(prob_s4, axis=0).astype(jnp.uint8)
 
-        memory, ids = jax.lax.scan(
+        memory, ids_s4 = jax.lax.scan(
             body, memory, (keys, skips["f4"], skips["f8"], skips["f16"])
         )
+        # batched nearest ×4 upsample of the id maps outside the scan
+        ids = jnp.repeat(jnp.repeat(ids_s4, 4, axis=1), 4, axis=2)
         return memory, ids
 
     if jit:

@@ -206,9 +206,10 @@ class TrackerCore:
         readout = readout.reshape(self.max_objects, self.h16, self.w16, -1)
         return readout, memory
 
-    def _decode_and_update(self, variables, memory, skips0, readout):
+    def _decode_and_update(self, variables, memory, skips0, readout, full_res: bool = True):
         logits, hidden_feat = self.net.apply(
-            variables, readout, skips0, memory.sensory, method=PropagationNetwork.decode
+            variables, readout, skips0, memory.sensory,
+            method=PropagationNetwork.decode, full_res=full_res,
         )
         sensory = self.net.apply(
             variables, memory.sensory, hidden_feat, method=PropagationNetwork.update_sensory

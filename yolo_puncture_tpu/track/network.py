@@ -111,8 +111,10 @@ class MaskDecoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, readout, skips, sensory, train: bool = False):
+    def __call__(self, readout, skips, sensory, train: bool = False, full_res: bool = True):
         # readout: (No, H16, W16, Cv); skips f8 (H8, W8, C), f4
+        # full_res=False returns stride-4 logits (callers batch the ×4 upsample
+        # outside a scan — cheaper than per-frame full-res work)
         No = readout.shape[0]
         x = jnp.concatenate([readout, sensory], axis=-1)
         x = ConvBN(256, 3, 1, dtype=self.dtype, name="in_conv")(x, train)
@@ -128,6 +130,8 @@ class MaskDecoder(nn.Module):
         x = ConvBN(128, 3, 1, dtype=self.dtype, name="dec4")(up(x), train)
         x = x + jnp.broadcast_to(f4[None], (No, *f4.shape))
         logits_s4 = nn.Conv(1, (1, 1), dtype=self.dtype, name="out")(x)  # (No, H4, W4, 1)
+        if not full_res:
+            return logits_s4[..., 0], hidden_feat
         logits = jax.image.resize(
             logits_s4,
             (No, logits_s4.shape[1] * 4, logits_s4.shape[2] * 4, 1),
@@ -156,8 +160,8 @@ class PropagationNetwork(nn.Module):
     def update_sensory(self, hidden, feat, train: bool = False):
         return self.sensory(hidden, feat, train)
 
-    def decode(self, readout, skips, sensory, train: bool = False):
-        return self.decoder(readout, skips, sensory, train)
+    def decode(self, readout, skips, sensory, train: bool = False, full_res: bool = True):
+        return self.decoder(readout, skips, sensory, train, full_res)
 
     def __call__(self, image):
         # init-only path: build all params with dummy shapes

@@ -129,30 +129,16 @@ class Trainer:
             metrics["lr"] = self.schedule(state.step)
             return new_state, metrics
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            rep = NamedSharding(self.mesh, P())
-            data = NamedSharding(self.mesh, P("data"))
-
-            def in_shard(batch_tree):
-                return jax.tree.map(
-                    lambda x: NamedSharding(
-                        self.mesh, P("data", *([None] * (np.ndim(x) - 1)))
-                    ),
-                    batch_tree,
-                )
-
-            self._step_fn = jax.jit(step, donate_argnums=(0,))
-        else:
-            self._step_fn = jax.jit(step, donate_argnums=(0,))
+        # with a mesh, sharding follows the inputs (train_step device_puts the
+        # batch on 'data'); XLA inserts the gradient all-reduce automatically
+        self._step_fn = jax.jit(step, donate_argnums=(0,))
         return self._step_fn
 
     def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
         if self._step_fn is None:
             self._build_step()
         if self.mesh is not None:
-            from yolo_puncture_tpu.parallel.mesh import replicate, shard_batch
+            from yolo_puncture_tpu.parallel.mesh import shard_batch
 
             batch = shard_batch(self.mesh, jax.tree.map(jnp.asarray, batch))
         else:
