@@ -65,14 +65,12 @@ def main(argv=None):
     else:
         videos = [args.path]
 
-    video_info = {}
     for video_path in videos:
         print(f"Processing video: {video_path}")
-        name = os.path.splitext(os.path.basename(video_path))[0]
-        out = pipe.process_video(
-            video_path, conf=args.yolo_conf_threshold, judge_wnd=args.judge_wnd
-        )
-        video_info[name] = out
+    # multi-video: frames interleave into shared device batches (BASELINE config 5)
+    video_info = pipe.process_videos(
+        videos, conf=args.yolo_conf_threshold, judge_wnd=args.judge_wnd
+    )
 
     for video, info in video_info.items():
         speed = f"{info.speed_mm_s:.2f}mm/s" if info.speed_mm_s else "n/a"

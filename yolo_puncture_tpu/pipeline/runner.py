@@ -203,6 +203,16 @@ class VideoSpeedPipeline:
                 flush()
         flush()
 
+        return self._host_pass(raw, undetected_frames, orig_hw, fps, judge_wnd)
+
+    def _host_pass(
+        self,
+        raw: List[Dict[str, np.ndarray]],
+        undetected_frames: Dict[int, np.ndarray],
+        orig_hw,
+        fps: float,
+        judge_wnd: int,
+    ) -> PipelineOutput:
         n = len(raw)
         if n == 0:
             return PipelineOutput(None, None, None, [], [], [], [], [], fps)
@@ -288,3 +298,92 @@ class VideoSpeedPipeline:
 
         fps, w, h, frames = iter_video_frames(video_path)
         return self.process_frames(frames, fps, conf=conf, judge_wnd=judge_wnd)
+
+    def process_videos(
+        self,
+        video_paths,
+        conf: float = 0.35,
+        judge_wnd: int = 20,
+        interleave: bool = True,
+    ):
+        """Multi-video batch analytics (BASELINE config 5).
+
+        With ``interleave`` (same-resolution videos), frames from all videos are
+        zipped into shared device batches so V videos fill one chip's batch dim —
+        and shard over a multi-chip 'data' mesh transparently when the arrays are
+        placed on one (parallel/mesh.shard_batch).  Falls back to sequential
+        per-video processing for mixed resolutions.  Returns {name: PipelineOutput}.
+        """
+        import os
+
+        from yolo_puncture_tpu.pipeline.video import iter_video_frames
+
+        metas = []
+        for p in video_paths:
+            fps, w, h, frames = iter_video_frames(p)
+            metas.append((os.path.splitext(os.path.basename(p))[0], fps, (h, w), frames))
+
+        results = {}
+        same_res = len({m[2] for m in metas}) == 1
+        if not (interleave and same_res and len(metas) > 1):
+            for name, fps, _, frames in metas:
+                results[name] = self.process_frames(frames, fps, conf, judge_wnd)
+            return results
+
+        # TRUE cross-video batching: round-robin one frame per live video into the
+        # shared device batch (slots tagged with their owner), one fused device
+        # call per batch; raw outputs scatter back per video for the sequential
+        # host analytics.  On a multi-chip mesh the batch dim shards over 'data',
+        # so V videos spread across chips.
+        B = self.device_batch
+        iters = [iter(f) for _, _, _, f in metas]
+        alive = [True] * len(metas)
+        per_video_raw: List[List[Dict]] = [[] for _ in metas]
+        per_video_undetected: List[Dict[int, np.ndarray]] = [{} for _ in metas]
+        step = None
+        orig_hw = metas[0][2]
+        cls_vars = self.classifier.variables if self.classifier else None
+
+        pending: List[Tuple[int, np.ndarray]] = []  # (video_idx, frame)
+
+        def flush():
+            nonlocal step
+            if not pending:
+                return
+            arr = np.stack([f for _, f in pending])
+            n = len(pending)
+            if n < B:
+                arr = np.concatenate([arr, np.zeros((B - n, *arr.shape[1:]), arr.dtype)])
+            if step is None:
+                step = self._step_fn(arr.shape[1:3])
+            with self.timer.stage("device_batch"):
+                out = jax.device_get(
+                    step(self.detector.variables, cls_vars, jnp.asarray(arr), jnp.float32(conf))
+                )
+            for i, (vid, frame) in enumerate(pending):
+                rec = {}
+                for k, v in out.items():
+                    rec[k] = v if (v is None or k in ("ratio", "pad")) else v[i]
+                per_video_raw[vid].append(rec)
+                if not bool(rec["valid"]):
+                    per_video_undetected[vid][len(per_video_raw[vid]) - 1] = frame.copy()
+            pending.clear()
+
+        while any(alive):
+            for i, it in enumerate(iters):
+                if not alive[i]:
+                    continue
+                try:
+                    pending.append((i, next(it)))
+                except StopIteration:
+                    alive[i] = False
+                    continue
+                if len(pending) == B:
+                    flush()
+        flush()
+
+        for vi, (name, fps, _, _) in enumerate(metas):
+            results[name] = self._host_pass(
+                per_video_raw[vi], per_video_undetected[vi], orig_hw, fps, judge_wnd
+            )
+        return results
