@@ -30,7 +30,10 @@ def auto_segment(config, image_np, yolo_model, min_side, suppress_small_mask):
         scale = min_side / min(h, w)
         image_np = cv2.resize(image_np, (int(w * scale), int(h * scale)))
 
-    results = yolo_model.predict(image_np[..., ::-1], retina_masks=True, conf=0.9)
+    results = yolo_model.predict(
+        image_np[..., ::-1], retina_masks=True, conf=0.9,
+        imgsz=config.get("det_imgsz", 640),
+    )
     det = results[0]
     output_mask = np.zeros((h, w), np.int64)
     segments_info = []
@@ -147,6 +150,7 @@ def main(argv=None):
     parser.add_argument("--disable_long_term", action="store_true")
     parser.add_argument("--mem_every", type=int, default=5)
     parser.add_argument("--amp", action="store_true", help="bf16 compute")
+    parser.add_argument("--imgsz", type=int, default=640, help="detector letterbox size")
     args = parser.parse_args(argv)
 
     cfg = {
@@ -162,6 +166,7 @@ def main(argv=None):
         "num_prototypes": args.num_prototypes,
         "max_long_term_elements": args.max_long_term_elements,
         "video_name": args.video_name,
+        "det_imgsz": args.imgsz,
     }
 
     video_reader = VideoReader(args.img_path)

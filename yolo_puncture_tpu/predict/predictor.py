@@ -93,7 +93,7 @@ class YOLO:
 
     def _random_init(self, seed: int):
         x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        return self.model.init(jax.random.PRNGKey(seed), x)
+        return jax.jit(self.model.init)(jax.random.PRNGKey(seed), x)
 
     # -- device pipeline ----------------------------------------------------
 

@@ -47,7 +47,7 @@ class ClassifierNet:
         self.model = create_model(model_name, num_classes=num_classes, dtype=dtype)
         self.input_size = input_size
         x = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-        self.variables = self.model.init(jax.random.PRNGKey(seed), x)
+        self.variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed), x)
         if checkpoint:
             from yolo_puncture_tpu.utils.torch_convert import (
                 convert_classifier_state_dict,

@@ -27,7 +27,7 @@ class UNetPredictor:
         else:
             raise ValueError(model_name)
         x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        self.variables = self.model.init(jax.random.PRNGKey(seed), x)
+        self.variables = jax.jit(self.model.init)(jax.random.PRNGKey(seed), x)
         if checkpoint:
             from yolo_puncture_tpu.utils.torch_convert import (
                 convert_classifier_state_dict,

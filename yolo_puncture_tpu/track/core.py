@@ -151,7 +151,9 @@ class TrackerCore:
         self.num_prototypes = min(self.num_prototypes, self.h16 * self.w16)
         self.net = PropagationNetwork(dtype=dtype)
         if variables is None:
-            variables = self.net.init(
+            # jit the init: eager tracing dispatches one tiny compile per
+            # primitive (minutes on CPU); jitted it's a single compile
+            variables = jax.jit(self.net.init)(
                 jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3), jnp.float32)
             )
         self.variables = variables

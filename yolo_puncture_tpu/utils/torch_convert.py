@@ -411,7 +411,7 @@ def load_ultralytics_checkpoint(path: str, model, strict: bool = False):
     import jax.numpy as jnp
 
     sd = extract_state_dict(path)
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
     variables, report = convert_yolo_state_dict(sd, template, strict=strict)
     n_bad = len(report["unmatched_torch_keys"]) + len(report["unfilled_flax_leaves"])
     if n_bad:
