@@ -133,7 +133,10 @@ def cmd_predict(kv):
 
 
 def cmd_export(kv):
-    """Export params: msgpack (flax serialization) or orbax dir."""
+    """Export: msgpack / orbax params, torch-named state dict, or a serialized
+    StableHLO serving function (the TPU analog of the reference's onnx/engine
+    export — jax.export bundles graph + weights, reloadable without the model
+    code)."""
     import jax
     import jax.numpy as jnp
     from flax import serialization
@@ -152,8 +155,38 @@ def cmd_export(kv):
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.abspath(out), jax.device_get(det.variables), force=True)
         ckptr.wait_until_finished()
+    elif fmt == "torch":
+        # torch-named state dict (round-trips through utils/torch_convert)
+        import pickle
+
+        from yolo_puncture_tpu.utils.torch_convert import export_yolo_state_dict
+
+        sd = export_yolo_state_dict(jax.device_get(det.variables))
+        with open(out, "wb") as f:
+            pickle.dump(sd, f)
+    elif fmt == "stablehlo":
+        imgsz = int(kv.get("imgsz", 640))
+        variables = det.variables
+
+        def serve(frames_u8):
+            from yolo_puncture_tpu.ops.letterbox import letterbox
+            from yolo_puncture_tpu.ops.nms import select_detections
+
+            imgs, r, pad = letterbox(frames_u8[..., ::-1], imgsz, dtype=det.model.dtype)
+            o = det.model.apply(variables, imgs)
+            d = select_detections(
+                o, nms_free=det.version == "v10", conf_thres=0.25, max_det=det.max_det
+            )
+            return d["boxes"], d["scores"], d["classes"]
+
+        B = int(kv.get("batch", 1))
+        exported = jax.export.export(jax.jit(serve))(
+            jax.ShapeDtypeStruct((B, imgsz, imgsz, 3), jnp.uint8)
+        )
+        with open(out, "wb") as f:
+            f.write(exported.serialize())
     else:
-        raise SystemExit(f"unknown format {fmt} (msgpack|orbax)")
+        raise SystemExit(f"unknown format {fmt} (msgpack|orbax|torch|stablehlo)")
     print(f"exported to {out}")
     return out
 

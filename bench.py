@@ -30,7 +30,7 @@ import numpy as np
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     track = os.environ.get("BENCH_TRACK", "1") != "0"
