@@ -132,7 +132,8 @@ def _branch_loss(
             m_pred = jnp.einsum("pn,hwn->phw", c, pr)       # (P, Hp, Wp) logits
             gt_idx = t_gt_idx[sel]
             m_gt = gt_masks[gt_idx]                         # (P, Hp, Wp)
-            boxes_p = gboxes[gt_idx] / 4.0                  # proto-res coords
+            # gboxes is PER-ANCHOR (assigned target box) → index by anchor ids
+            boxes_p = gboxes[sel] / 4.0                     # proto-res coords
             ys = jnp.arange(Hp, dtype=jnp.float32)[None, :, None]
             xs = jnp.arange(Wp, dtype=jnp.float32)[None, None, :]
             inside = (
