@@ -39,6 +39,60 @@ def test_overfit_single_image_loss_decreases():
     assert last < 0.7 * first, f"loss did not decrease: {first:.2f} → {last:.2f}"
 
 
+@pytest.mark.slow
+def test_train_to_detect_emerges():
+    """300 steps from random init on synthetic bars → real detections with
+    IoU > 0.5 and nonempty masks via the public predict API (train↔predict
+    integration; also pins the ultralytics per-GT topk gating bootstrap)."""
+    from yolo_puncture_tpu import create_model
+    from yolo_puncture_tpu.predict import YOLO
+    from yolo_puncture_tpu.train.metrics import box_iou_np
+    from yolo_puncture_tpu.train.trainer import Trainer
+
+    S, M, B = 64, 4, 4
+    rng = np.random.default_rng(0)
+
+    def make_batch():
+        imgs = np.zeros((B, S, S, 3), np.float32)
+        boxes = np.zeros((B, M, 4), np.float32)
+        masks = np.zeros((B, M, S // 4, S // 4), np.float32)
+        mask_gt = np.zeros((B, M), bool)
+        for b in range(B):
+            x1 = rng.integers(2, 16)
+            y1 = rng.integers(14, 28)
+            w = rng.integers(32, 46)
+            h = rng.integers(16, 28)
+            x2, y2 = min(S, x1 + w), min(S, y1 + h)
+            imgs[b, y1:y2, x1:x2] = 1.0
+            boxes[b, 0] = (x1, y1, x2, y2)
+            masks[b, 0, y1 // 4 : y2 // 4, x1 // 4 : x2 // 4] = 1
+            mask_gt[b, 0] = True
+        return {
+            "images": imgs, "gt_labels": np.zeros((B, M), np.int32),
+            "gt_bboxes": boxes, "mask_gt": mask_gt, "gt_masks": masks,
+        }
+
+    model = create_model("yolov8n-seg", nc=1)
+    tr = Trainer(model, nc=1, imgsz=S, lr0=0.01, total_steps=400, warmup_steps=20,
+                 use_ema=False)
+    state = tr.init_state(make_batch())
+    for _ in range(300):
+        state, _ = tr.train_step(state, make_batch())
+
+    det = YOLO("yolov8n-seg", nc=1)
+    det.variables = {"params": state.params, "batch_stats": state.batch_stats}
+    tb = make_batch()
+    hits = 0
+    for b in range(B):
+        img_bgr = (tb["images"][b][..., ::-1] * 255).astype(np.uint8)
+        r = det.predict(source=img_bgr, conf=0.25, imgsz=S, retina_masks=True)[0]
+        if len(r.boxes):
+            iou = float(box_iou_np(r.boxes.xyxy[:1], tb["gt_bboxes"][b][:1])[0, 0])
+            if iou > 0.5 and r.masks is not None and r.masks.data[0].sum() > 0:
+                hits += 1
+    assert hits >= 3, f"only {hits}/4 synthetic objects detected after training"
+
+
 def test_classifier_timm_key_conversion():
     """Synthetic timm-style EfficientNet keys land in the right flax leaves."""
     import jax

@@ -83,12 +83,18 @@ def task_aligned_assign(
         valid = in_gts & gmask[:, None]
         metric = jnp.where(valid, metric, 0.0)
 
-        # topk per gt
+        # topk per gt — ultralytics gating: a gt keeps ALL its topk candidates as
+        # long as its BEST metric exceeds eps (per-gt, not per-element; early in
+        # training most candidate metrics are ~0 and per-element gating would
+        # starve the assigner)
         k = min(topk, A)
         topv, topi = jax.lax.top_k(metric, k)  # (M, k)
+        gt_alive = topv[:, :1] > eps           # (M, 1)
         mask_topk = jnp.zeros((M, A), bool)
         rows = jnp.arange(M)[:, None]
-        mask_topk = mask_topk.at[rows, topi].set(topv > eps)
+        mask_topk = mask_topk.at[rows, topi].set(
+            jnp.broadcast_to(gt_alive, topv.shape)
+        )
         mask_pos = mask_topk & valid  # (M, A)
 
         # conflict resolution: anchor claimed by >1 gt → highest overlap wins
