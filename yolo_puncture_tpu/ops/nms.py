@@ -115,8 +115,13 @@ def v10_topk_select(
     B, A, nc = probs.shape
     flat = probs.reshape(B, A * nc)
 
+    k = min(max_det, A * nc)
+
     def one(b_boxes, b_flat):
-        sel_scores, idx = jax.lax.top_k(b_flat, max_det)
+        sel_scores, idx = jax.lax.top_k(b_flat, k)
+        if k < max_det:
+            sel_scores = jnp.pad(sel_scores, (0, max_det - k), constant_values=-1.0)
+            idx = jnp.pad(idx, (0, max_det - k))
         anchor = idx // nc
         cls = (idx % nc).astype(jnp.int32)
         valid = sel_scores >= conf_thres
