@@ -151,6 +151,8 @@ def main(argv=None):
     parser.add_argument("--mem_every", type=int, default=5)
     parser.add_argument("--amp", action="store_true", help="bf16 compute")
     parser.add_argument("--imgsz", type=int, default=640, help="detector letterbox size")
+    parser.add_argument("--tracker_weights", type=str, default=None,
+                        help="msgpack propagation weights (apps/train_tracker.py)")
     args = parser.parse_args(argv)
 
     cfg = {
@@ -190,7 +192,13 @@ def main(argv=None):
     scale = args.size / min(h0, w0)
     th = int(round(h0 * scale / 16)) * 16
     tw = int(round(w0 * scale / 16)) * 16
-    tracker = TrackerCore(config=cfg, image_size=(max(th, 16), max(tw, 16)), dtype=dtype)
+    tracker = TrackerCore(
+        config=cfg,
+        variables=args.tracker_weights if args.tracker_weights
+        and os.path.exists(args.tracker_weights) else None,
+        image_size=(max(th, 16), max(tw, 16)),
+        dtype=dtype,
+    )
     tracker.next_voting_frame = args.num_voting_frames - 1
     tracker.enabled_long_id()
     result_saver = ResultSaver(

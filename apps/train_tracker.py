@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Train the temporal-propagation network on synthetic motion clips.
+
+The reference downloads pretrained DEVA weights; this framework's TPU-native
+propagation net bootstraps here instead (VOS-style recurrent training, see
+yolo_puncture_tpu/track/train.py).  Saves flax-msgpack weights loadable via
+``TrackerCore(variables=...)`` / apps/track_video.py --tracker_weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from yolo_puncture_tpu.track import TrackerCore
+    from yolo_puncture_tpu.track.train import PropagationTrainer
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--height", type=int, default=256)
+    parser.add_argument("--width", type=int, default=256)
+    parser.add_argument("--clip_len", type=int, default=4)
+    parser.add_argument("--max_objects", type=int, default=4)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--output", default="resources/weights/tracker_propagation.msgpack")
+    parser.add_argument("--eval_clips", type=int, default=16)
+    args = parser.parse_args(argv)
+
+    core = TrackerCore(
+        image_size=(args.height, args.width),
+        max_objects=args.max_objects,
+        mem_frames=4,
+        mem_every=1,
+        enable_long_term=False,
+    )
+    trainer = PropagationTrainer(core, lr=args.lr, clip_len=args.clip_len)
+    iou0 = trainer.eval_propagation_iou(args.eval_clips)
+    print(f"propagation IoU before: {iou0:.3f}")
+    trainer.fit(steps=args.steps, log_every=max(args.steps // 20, 1))
+    iou1 = trainer.eval_propagation_iou(args.eval_clips)
+    print(f"propagation IoU after: {iou1:.3f}")
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+    with open(args.output, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(core.variables)))
+    print(f"saved {args.output}")
+    return iou0, iou1
+
+
+if __name__ == "__main__":
+    main()

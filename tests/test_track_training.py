@@ -1,0 +1,32 @@
+"""Propagation-network training: loss drops, propagation IoU improves."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_propagation_training_improves_iou():
+    from yolo_puncture_tpu.track import TrackerCore
+    from yolo_puncture_tpu.track.train import PropagationTrainer
+
+    core = TrackerCore(
+        image_size=(48, 64), max_objects=2, mem_frames=2, mem_every=1,
+        enable_long_term=False,
+    )
+    tr = PropagationTrainer(core, lr=1e-3, clip_len=3)
+    iou0 = tr.eval_propagation_iou(4)
+    loss = tr.fit(steps=80, log_every=0)
+    iou1 = tr.eval_propagation_iou(4)
+    assert loss < 0.3, f"loss did not converge: {loss}"
+    assert iou1 > max(1.5 * iou0, 0.25), f"IoU {iou0:.3f} → {iou1:.3f}: no improvement"
+
+
+def test_synthetic_clip_shapes():
+    from yolo_puncture_tpu.track.train import make_synthetic_clip
+
+    rng = np.random.default_rng(0)
+    imgs, masks = make_synthetic_clip(rng, T=5, h=32, w=48, max_objects=3)
+    assert imgs.shape == (5, 32, 48, 3)
+    assert masks.shape == (5, 3, 32, 48)
+    assert imgs.min() >= 0 and imgs.max() <= 1
+    assert masks[0].sum() > 0  # at least one object

@@ -156,6 +156,15 @@ class TrackerCore:
             variables = jax.jit(self.net.init)(
                 jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3), jnp.float32)
             )
+        elif isinstance(variables, (str, bytes)):
+            # msgpack weights path (apps/train_tracker.py output)
+            from flax import serialization
+
+            template = jax.jit(self.net.init)(
+                jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3), jnp.float32)
+            )
+            with open(variables, "rb") as f:
+                variables = serialization.from_bytes(template, f.read())
         self.variables = variables
         # memory lives in the compute dtype (bf16 halves readout-matmul cost and
         # HBM traffic; softmax statistics stay fp32 inside the readout)

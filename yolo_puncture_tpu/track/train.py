@@ -1,0 +1,165 @@
+"""Propagation-network training: teaches the tracker to carry masks through time.
+
+The reference ships pretrained DEVA weights; this framework's propagation net is a
+new TPU-native architecture, so it trains here instead — standard VOS-style
+recurrent training (as in XMem/DEVA pretraining): seed memory with the ground-truth
+mask at t=0 (incorporate), roll the tracker forward through the clip writing its
+OWN predictions into memory (exposure-consistent with inference), and supervise
+every frame's aggregated probabilities with per-pixel cross-entropy against the
+ground-truth id map.
+
+Synthetic curriculum: translating/scaling elongated bars and disks (the
+needle-puncture regime: thin moving objects) generated on the fly — no external
+data needed to bootstrap a usable tracker.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from yolo_puncture_tpu.track.core import TrackerCore
+from yolo_puncture_tpu.track.memory import MemoryState
+
+
+def make_synthetic_clip(
+    rng: np.random.Generator,
+    T: int = 4,
+    h: int = 64,
+    w: int = 96,
+    max_objects: int = 2,
+):
+    """Moving-bar clip: images (T, h, w, 3) float[0,1], onehot masks (T, No, h, w)."""
+    n_obj = int(rng.integers(1, max_objects + 1))
+    images = rng.uniform(0, 0.15, size=(T, h, w, 3)).astype(np.float32)
+    masks = np.zeros((T, max_objects, h, w), np.float32)
+    for o in range(n_obj):
+        bw = int(rng.integers(w // 4, w // 2))
+        bh = int(rng.integers(4, h // 4))
+        x = float(rng.integers(0, w - bw))
+        y = float(rng.integers(0, h - bh))
+        dx = float(rng.uniform(-3, 3))
+        dy = float(rng.uniform(-2, 2))
+        color = rng.uniform(0.5, 1.0, size=3)
+        for t in range(T):
+            x1 = int(np.clip(x + dx * t, 0, w - bw))
+            y1 = int(np.clip(y + dy * t, 0, h - bh))
+            images[t, y1 : y1 + bh, x1 : x1 + bw] = color
+            masks[t, o, y1 : y1 + bh, x1 : x1 + bw] = 1.0
+    return images, masks
+
+
+def build_propagation_loss(core: TrackerCore):
+    """loss(variables, images (T,H,W,3), onehot (T,No,H,W), valid (No,)) → scalar.
+
+    Rollout matches inference exactly (same _incorporate/_step programs), so
+    training-serving skew is zero.
+    """
+
+    def loss_fn(variables, images, onehot, obj_valid):
+        T = images.shape[0]
+        mem0 = core.memory  # zeros template (host attr never mutated here)
+        obj_valid_b = obj_valid > 0.5
+
+        prob0, memory, _ = core._incorporate_impl(
+            variables, mem0, images[0], onehot[0], obj_valid_b
+        )
+
+        def step(carry, inp):
+            memory, total = carry
+            img, m_t = inp
+            prob, memory = core._step_impl(variables, memory, img)
+            # per-pixel CE against the gt id map (bg = 1 - any object)
+            gt_fg = m_t * obj_valid[:, None, None]
+            gt_bg = jnp.clip(1.0 - gt_fg.sum(0, keepdims=True), 0.0, 1.0)
+            gt = jnp.concatenate([gt_bg, gt_fg], axis=0)  # (No+1, H, W)
+            gt = gt / jnp.maximum(gt.sum(0, keepdims=True), 1e-6)
+            ce = -(gt * jnp.log(jnp.clip(prob, 1e-6, 1.0))).sum(0).mean()
+            return (memory, total + ce), ce
+
+        (memory, total), _ = jax.lax.scan(step, (memory, 0.0), (images[1:], onehot[1:]))
+        return total / (T - 1)
+
+    return loss_fn
+
+
+class PropagationTrainer:
+    def __init__(
+        self,
+        core: TrackerCore,
+        lr: float = 3e-4,
+        clip_len: int = 4,
+        seed: int = 0,
+    ):
+        self.core = core
+        self.clip_len = clip_len
+        self.rng = np.random.default_rng(seed)
+        self.tx = optax.adam(lr)
+        loss_fn = build_propagation_loss(core)
+
+        @jax.jit
+        def train_step(variables, opt_state, images, onehot, obj_valid):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                variables, images, onehot, obj_valid
+            )
+            updates, opt_state = self.tx.update(grads, opt_state)
+            variables = optax.apply_updates(variables, updates)
+            return variables, opt_state, loss
+
+        self._train_step = train_step
+        self.opt_state = self.tx.init(core.variables)
+
+    def fit(self, steps: int = 200, log_every: int = 50):
+        h, w = self.core.image_size
+        No = self.core.max_objects
+        variables = self.core.variables
+        last = None
+        for i in range(steps):
+            images, masks = make_synthetic_clip(
+                self.rng, self.clip_len, h, w, max_objects=No
+            )
+            obj_valid = (masks.sum((0, 2, 3)) > 0).astype(np.float32)
+            variables, self.opt_state, loss = self._train_step(
+                variables,
+                self.opt_state,
+                jnp.asarray(images),
+                jnp.asarray(masks),
+                jnp.asarray(obj_valid),
+            )
+            last = float(loss)
+            if log_every and (i % log_every == 0):
+                print(f"propagation step {i}: loss {last:.4f}")
+        self.core.variables = variables
+        return last
+
+    def eval_propagation_iou(self, n_clips: int = 8) -> float:
+        """Mean IoU of propagated masks vs ground truth on fresh clips."""
+        h, w = self.core.image_size
+        No = self.core.max_objects
+        ious = []
+        for _ in range(n_clips):
+            images, masks = make_synthetic_clip(self.rng, self.clip_len, h, w, No)
+            obj_valid = (masks.sum((0, 2, 3)) > 0)
+            mem = self.core.memory
+            prob, mem, _ = self.core._jit_incorporate(
+                self.core.variables, mem, jnp.asarray(images[0]),
+                jnp.asarray(masks[0]), jnp.asarray(obj_valid),
+            )
+            for t in range(1, self.clip_len):
+                prob, mem = self.core._jit_step(
+                    self.core.variables, mem, jnp.asarray(images[t])
+                )
+                pred = np.asarray(jnp.argmax(prob, 0))
+                for o in range(No):
+                    if not obj_valid[o]:
+                        continue
+                    p = pred == (o + 1)
+                    g = masks[t, o] > 0.5
+                    union = (p | g).sum()
+                    if union:
+                        ious.append((p & g).sum() / union)
+        return float(np.mean(ious)) if ious else 0.0
