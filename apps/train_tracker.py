@@ -30,7 +30,8 @@ def main(argv=None):
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--clip_len", type=int, default=4)
     parser.add_argument("--max_objects", type=int, default=4)
-    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--output", default="resources/weights/tracker_propagation.msgpack")
     parser.add_argument("--eval_clips", type=int, default=16)
     args = parser.parse_args(argv)
@@ -42,7 +43,9 @@ def main(argv=None):
         mem_every=1,
         enable_long_term=False,
     )
-    trainer = PropagationTrainer(core, lr=args.lr, clip_len=args.clip_len)
+    trainer = PropagationTrainer(
+        core, lr=args.lr, clip_len=args.clip_len, batch_size=args.batch
+    )
     iou0 = trainer.eval_propagation_iou(args.eval_clips)
     print(f"propagation IoU before: {iou0:.3f}")
     trainer.fit(steps=args.steps, log_every=max(args.steps // 20, 1))

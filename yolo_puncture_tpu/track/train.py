@@ -93,17 +93,26 @@ class PropagationTrainer:
         core: TrackerCore,
         lr: float = 3e-4,
         clip_len: int = 4,
+        batch_size: int = 1,
         seed: int = 0,
     ):
         self.core = core
         self.clip_len = clip_len
+        self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.tx = optax.adam(lr)
         loss_fn = build_propagation_loss(core)
 
+        def batched_loss(variables, images, onehot, obj_valid):
+            # vmap over the clip batch — fills the MXU (a single clip is tiny)
+            losses = jax.vmap(loss_fn, in_axes=(None, 0, 0, 0))(
+                variables, images, onehot, obj_valid
+            )
+            return losses.mean()
+
         @jax.jit
         def train_step(variables, opt_state, images, onehot, obj_valid):
-            loss, grads = jax.value_and_grad(loss_fn)(
+            loss, grads = jax.value_and_grad(batched_loss)(
                 variables, images, onehot, obj_valid
             )
             updates, opt_state = self.tx.update(grads, opt_state)
@@ -113,22 +122,30 @@ class PropagationTrainer:
         self._train_step = train_step
         self.opt_state = self.tx.init(core.variables)
 
-    def fit(self, steps: int = 200, log_every: int = 50):
+    def _sample_batch(self):
         h, w = self.core.image_size
         No = self.core.max_objects
-        variables = self.core.variables
-        last = None
-        for i in range(steps):
+        imgs, msks, valids = [], [], []
+        for _ in range(self.batch_size):
             images, masks = make_synthetic_clip(
                 self.rng, self.clip_len, h, w, max_objects=No
             )
-            obj_valid = (masks.sum((0, 2, 3)) > 0).astype(np.float32)
+            imgs.append(images)
+            msks.append(masks)
+            valids.append((masks.sum((0, 2, 3)) > 0).astype(np.float32))
+        return (
+            jnp.asarray(np.stack(imgs)),
+            jnp.asarray(np.stack(msks)),
+            jnp.asarray(np.stack(valids)),
+        )
+
+    def fit(self, steps: int = 200, log_every: int = 50):
+        variables = self.core.variables
+        last = None
+        for i in range(steps):
+            images, onehot, obj_valid = self._sample_batch()
             variables, self.opt_state, loss = self._train_step(
-                variables,
-                self.opt_state,
-                jnp.asarray(images),
-                jnp.asarray(masks),
-                jnp.asarray(obj_valid),
+                variables, self.opt_state, images, onehot, obj_valid
             )
             last = float(loss)
             if log_every and (i % log_every == 0):
