@@ -139,7 +139,12 @@ class YOLO:
                     out["proto"], coeffs, mboxes, (imgsz, imgsz),
                     upsample=retina, threshold=None,
                 )
-                masks = paste_masks_to_original(masks_lb, r, pad, (h0, w0))
+                if retina:
+                    masks = paste_masks_to_original(masks_lb, r, pad, (h0, w0))
+                else:
+                    # masks are at proto (stride-4) resolution → pad/ratio scale by 4
+                    pad4 = (round(pad[0] / 4), round(pad[1] / 4))
+                    masks = paste_masks_to_original(masks_lb, r / 4, pad4, (h0, w0))
                 result["masks"] = (masks > 0.5).astype(jnp.uint8)
             return result
 
