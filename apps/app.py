@@ -40,6 +40,9 @@ def yolo_inference(
     classify_model_id: str = "EfficientNet/efficientnet_b3.pth.tar",
     yolo_conf_threshold: float = 0.9,
     judge_wnd: int = 20,
+    imgsz: int = 640,
+    device_batch: int = 8,
+    crop_size: int = 380,
 ):
     """Image mode returns (annotated RGB image, None); video mode returns
     (None, annotated output video path)."""
@@ -60,7 +63,7 @@ def yolo_inference(
     model = YOLO(wpath(yolo_model_id), nc=1)
 
     if image is not None:
-        results = model.predict(source=image, conf=yolo_conf_threshold, retina_masks=True)
+        results = model.predict(source=image, conf=yolo_conf_threshold, retina_masks=True, imgsz=imgsz)
         r = results[0]
         img = np.array(image)[..., ::-1].copy()  # RGB→BGR like the reference
         if r.masks is not None and len(r.masks):
@@ -78,7 +81,7 @@ def yolo_inference(
         "efficientnet_b3",
         checkpoint=wpath(classify_model_id) if os.path.exists(wpath(classify_model_id)) else None,
     )
-    pipe = VideoSpeedPipeline(model, cls_net, device_batch=8)
+    pipe = VideoSpeedPipeline(model, cls_net, device_batch=device_batch, imgsz=imgsz, crop_size=crop_size)
 
     cap = cv2.VideoCapture(video)
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
@@ -134,9 +137,18 @@ def yolo_inference(
             label = f"{idx} {cls} {prob:.2f} {actual_len:.2f} {rect_len:.2f}"
 
         mask = np.zeros(frame.shape, np.uint8)
-        cropped_frame, (x_lt, y_lt, x_rd, y_rd) = crop_frame(frame, out.boxes[idx])
+        cropped_frame, (x_lt, y_lt, x_rd, y_rd) = crop_frame(
+            frame, out.boxes[idx], crop_size=crop_size
+        )
         if cropped_frame.shape[0] and cropped_frame.shape[1]:
-            cm = unet_predict(unet, cropped_frame)
+            # fixed-shape U²-Net input: edge crops vary in size and every unique
+            # shape would trigger a fresh XLA compile — zero-pad to crop_size²
+            # and slice the mask back (the reference's eager torch had no such
+            # constraint; outputs are identical on the valid region)
+            padded = np.zeros((crop_size, crop_size, 3), np.uint8)
+            ch, cw = cropped_frame.shape[:2]
+            padded[:ch, :cw] = cropped_frame[:crop_size, :crop_size]
+            cm = unet_predict(unet, padded)
             mh, mw = y_rd - y_lt, x_rd - x_lt
             mask[y_lt:y_rd, x_lt:x_rd, 1] = cm[:mh, :mw]
 
