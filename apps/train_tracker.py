@@ -33,6 +33,7 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=2e-4)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--output", default="resources/weights/tracker_propagation.msgpack")
+    parser.add_argument("--init", default=None, help="msgpack weights to resume from")
     parser.add_argument("--eval_clips", type=int, default=16)
     args = parser.parse_args(argv)
 
@@ -42,6 +43,7 @@ def main(argv=None):
         mem_frames=4,
         mem_every=1,
         enable_long_term=False,
+        variables=args.init if args.init and os.path.exists(args.init) else None,
     )
     trainer = PropagationTrainer(
         core, lr=args.lr, clip_len=args.clip_len, batch_size=args.batch
