@@ -56,6 +56,35 @@ def test_unet_finetune_learns():
     assert union > 0 and inter / union > 0.3, f"U2Net IoU too low: {inter/union:.2f}"
 
 
+def test_recalibrate_batch_stats_exact():
+    """The two-pass solver recovers exact batch statistics for any momentum."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from yolo_puncture_tpu.train.finetune import recalibrate_batch_stats
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.93)(x)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.99)(x)
+
+    m = M()
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 5)) * 3.0 + 2.0
+    v = m.init(jax.random.PRNGKey(0), x)
+    stats = recalibrate_batch_stats(m, v["params"], v["batch_stats"], [x])
+    got_mean = np.asarray(stats["BatchNorm_0"]["mean"])
+    got_var = np.asarray(stats["BatchNorm_0"]["var"])
+    np.testing.assert_allclose(got_mean, np.asarray(x).mean(0), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_var, np.asarray(x).var(0), rtol=1e-3, atol=1e-4)
+    # second layer (momentum 0.99) sees the first layer's normalized output
+    xn = (np.asarray(x) - np.asarray(x).mean(0)) / np.sqrt(np.asarray(x).var(0) + 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stats["BatchNorm_1"]["mean"]), xn.mean(0), rtol=1e-3, atol=1e-5
+    )
+
+
 def test_load_cls_bbox_dataset(tmp_path):
     import cv2
 

@@ -154,3 +154,89 @@ def test_get_input_frame_min_side():
     out = get_input_frame_for_deva(img, 50)
     assert min(out.shape[:2]) == 50
     assert get_input_frame_for_deva(img, -1).shape == img.shape
+
+
+def test_windowed_propagation_quality():
+    """propagate_window (batched readout/decode + deep-update-at-write) tracks
+    about as well as the exact per-frame sequential scan on the shipped
+    checkpoint — the deviation the bench/batch paths rely on."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_puncture_tpu.track.core import TrackerCore
+    from yolo_puncture_tpu.track.network import PropagationNetwork
+    from yolo_puncture_tpu.track.train import make_synthetic_clip
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "resources", "weights",
+        "tracker_propagation.msgpack",
+    )
+    h, w, W = 64, 96, 4
+    core = TrackerCore(
+        image_size=(h, w), max_objects=4, mem_frames=4, mem_every=W,
+        variables=ckpt if os.path.exists(ckpt) else None,
+    )
+
+    @jax.jit
+    def window_step(variables, memory, images_w):
+        keys, skips = core.net.apply(
+            variables, images_w, method=PropagationNetwork.encode_key
+        )
+        return core.propagate_window(variables, memory, keys, skips)
+
+    def run_clip(images, masks, windowed):
+        obj_valid = masks.sum((0, 2, 3)) > 0
+        prob, mem, _ = core._jit_incorporate(
+            core.variables, core.memory, jnp.asarray(images[0]),
+            jnp.asarray(masks[0]), jnp.asarray(obj_valid),
+        )
+        T = images.shape[0]
+        ious = []
+
+        def iou_at(pred_ids, t):
+            for o in range(4):
+                if not obj_valid[o]:
+                    continue
+                p = pred_ids == (o + 1)
+                g = masks[t, o] > 0.5
+                u = (p | g).sum()
+                if u:
+                    ious.append((p & g).sum() / u)
+
+        if windowed:
+            for t0 in range(1, T, W):
+                probs, mem = window_step(
+                    core.variables, mem, jnp.asarray(images[t0 : t0 + W])
+                )
+                ids = np.asarray(jnp.argmax(probs, axis=1))  # (W, h/4, w/4) s4
+                for i in range(W):
+                    up = ids[i].repeat(4, 0).repeat(4, 1)
+                    iou_at(up, t0 + i)
+        else:
+            for t in range(1, T):
+                prob, mem = core._jit_step(core.variables, mem, jnp.asarray(images[t]))
+                iou_at(np.asarray(jnp.argmax(prob, 0)), t)
+        return float(np.mean(ious)) if ious else 0.0
+
+    rng = np.random.default_rng(3)
+    seq_ious, win_ious = [], []
+    for _ in range(3):
+        images, masks = make_synthetic_clip(rng, T=1 + 2 * W, h=h, w=w, max_objects=4)
+        seq_ious.append(run_clip(images, masks, windowed=False))
+        win_ious.append(run_clip(images, masks, windowed=True))
+    seq, win = np.mean(seq_ious), np.mean(win_ious)
+    assert win > 0.25, f"windowed propagation broken: IoU {win:.3f}"
+    assert win >= seq - 0.10, f"windowed much worse than sequential: {win:.3f} vs {seq:.3f}"
+
+
+def test_step_batch_contract(tracker):
+    """step_batch: full-res probs per frame, pad-and-drop on ragged windows."""
+    mask = _disk_mask()
+    tracker.incorporate_detection(_frame(10), mask, [ObjectInfo(id=1)])
+    frames = [_frame(11 + i) for i in range(5)]  # 5 % mem_every(2) => ragged
+    probs = tracker.step_batch(frames)
+    assert probs.shape == (5, 5, 64, 96)
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-3)
+    assert tracker.memory_engaged

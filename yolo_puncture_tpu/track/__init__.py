@@ -12,7 +12,13 @@ from yolo_puncture_tpu.track.saver import (  # noqa: F401
 from yolo_puncture_tpu.track.memory import MemoryState, init_memory  # noqa: F401
 
 
-def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480, jit: bool = True):
+def build_bench_tracker(
+    imgsz: int = 640,
+    dtype=None,
+    min_side: int = 480,
+    jit: bool = True,
+    window: int = 4,
+):
     """Benchmark helper: STREAMING propagation over frame batches.
 
     Returns (initial_memory, fn(memory, frames_u8) → (memory, ids)) so the caller
@@ -20,8 +26,12 @@ def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480, jit: 
     reference's stateful DEVA loop — and every batch reuses ONE executable.
 
     TPU structure: the frame-independent key encoder runs batched over all B
-    frames in one pass (MXU-efficient); only the memory-dependent readout →
-    decode → sensory → ring-write scans sequentially.  Geometry matches the
+    frames in one pass (MXU-efficient).  With ``window=w > 1`` the memory-
+    dependent stage uses TrackerCore.propagate_window: all w frames of a write
+    window read the same ring memory, so readout/decode batch in parallel and
+    the sequential scan shrinks w× (write cadence = w, replacing mem_every —
+    w=4 writes DENSER than the reference's mem_every=5 default).  ``window=1``
+    falls back to the exact per-frame sequential scan.  Geometry matches the
     reference DEVA stage (min-side size=480 input, yolo_with_deva.py
     get_input_frame_for_deva), independent of the detector's 640² letterbox.
     Long-term memory stays off per the reference's enablement formula for short
@@ -32,6 +42,7 @@ def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480, jit: 
 
     core = TrackerCore(
         image_size=(min_side, min_side), max_objects=4, mem_frames=8,
+        mem_every=window if window > 1 else 5,
         enable_long_term=False, dtype=dtype or jnp.float32,
     )
     # seed one active object so readout/decode do real work
@@ -53,23 +64,46 @@ def build_bench_tracker(imgsz: int = 640, dtype=None, min_side: int = 480, jit: 
             variables, imgs, method=PropagationNetwork.encode_key
         )
 
-        def body(memory, inp):
-            key, f4, f8, f16 = inp
-            skips0 = {"f4": f4, "f8": f8, "f16": f16}
-            readout, memory = core._read(key, memory)
-            # decode at stride 4: full-res upsample happens ONCE, batched, below
-            prob_s4, sensory = core._decode_and_update(
-                variables, memory, skips0, readout, full_res=False
-            )
-            memory = memory._replace(sensory=sensory)
-            do_write = (memory.frame_idx % core.mem_every == 0) & jnp.any(memory.active)
-            memory = core._write(variables, memory, key, skips0, prob_s4, do_write)
-            memory = memory._replace(frame_idx=memory.frame_idx + 1)
-            return memory, jnp.argmax(prob_s4, axis=0).astype(jnp.uint8)
+        if window > 1:
+            assert B % window == 0, f"batch {B} must be a multiple of window {window}"
+            nw = B // window
 
-        memory, ids_s4 = jax.lax.scan(
-            body, memory, (keys, skips["f4"], skips["f8"], skips["f16"])
-        )
+            def wshape(a):
+                return a.reshape(nw, window, *a.shape[1:])
+
+            def body(memory, inp):
+                keys_w, f4, f8, f16 = inp
+                probs, memory = core.propagate_window(
+                    variables, memory, keys_w, {"f4": f4, "f8": f8, "f16": f16}
+                )
+                return memory, jnp.argmax(probs, axis=1).astype(jnp.uint8)
+
+            memory, ids_s4 = jax.lax.scan(
+                body, memory,
+                (wshape(keys), wshape(skips["f4"]), wshape(skips["f8"]),
+                 wshape(skips["f16"])),
+            )
+            ids_s4 = ids_s4.reshape(B, *ids_s4.shape[2:])
+        else:
+            def body(memory, inp):
+                key, f4, f8, f16 = inp
+                skips0 = {"f4": f4, "f8": f8, "f16": f16}
+                readout, memory = core._read(key, memory)
+                # decode at stride 4: full-res upsample happens ONCE, batched, below
+                prob_s4, sensory = core._decode_and_update(
+                    variables, memory, skips0, readout, full_res=False
+                )
+                memory = memory._replace(sensory=sensory)
+                do_write = (memory.frame_idx % core.mem_every == 0) & jnp.any(
+                    memory.active
+                )
+                memory = core._write(variables, memory, key, skips0, prob_s4, do_write)
+                memory = memory._replace(frame_idx=memory.frame_idx + 1)
+                return memory, jnp.argmax(prob_s4, axis=0).astype(jnp.uint8)
+
+            memory, ids_s4 = jax.lax.scan(
+                body, memory, (keys, skips["f4"], skips["f8"], skips["f16"])
+            )
         # batched nearest ×4 upsample of the id maps outside the scan
         ids = jnp.repeat(jnp.repeat(ids_s4, 4, axis=1), 4, axis=2)
         return memory, ids

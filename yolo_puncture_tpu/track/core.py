@@ -182,6 +182,7 @@ class TrackerCore:
 
         self._jit_step = jax.jit(self._step_impl)
         self._jit_incorporate = jax.jit(self._incorporate_impl)
+        self._jit_window = jax.jit(self._window_impl)
 
     # ------------------------------------------------------------------
     # device programs
@@ -216,6 +217,81 @@ class TrackerCore:
         )
         readout = readout.reshape(self.max_objects, self.h16, self.w16, -1)
         return readout, memory
+
+    def _read_window(self, keys_w, memory: MemoryState):
+        """Readout for a whole window of frames in ONE pair of MXU matmuls.
+
+        keys_w: (w, H16, W16, Ck).  Within a write window the memory is
+        constant, so all w frames' queries stack into one (w·HW, M) affinity —
+        w× fewer, w× larger matmuls than per-frame readout (the per-frame scan
+        at 30×30 queries is latency-bound, not FLOP-bound).  Returns
+        readout (w, No, H16, W16, Cv) and the usage-updated memory.
+        """
+        w = keys_w.shape[0]
+        q = keys_w.reshape(w * self.h16 * self.w16, keys_w.shape[-1])
+        T, HW = memory.keys.shape[:2]
+        mem_keys = jnp.concatenate(
+            [memory.keys.reshape(T * HW, -1), memory.lt_keys], axis=0
+        )
+        mem_vals = jnp.concatenate(
+            [memory.values.reshape(self.max_objects, T * HW, -1), memory.lt_values],
+            axis=1,
+        )
+        mem_valid = jnp.concatenate([jnp.repeat(memory.valid, HW), memory.lt_valid])
+        readout, usage = memory_readout_dense(
+            q, mem_keys, mem_vals, mem_valid, return_usage=True
+        )
+        memory = memory._replace(usage=memory.usage + usage[: T * HW].reshape(T, HW))
+        readout = readout.reshape(
+            self.max_objects, w, self.h16, self.w16, -1
+        ).transpose(1, 0, 2, 3, 4)
+        return readout, memory
+
+    def propagate_window(self, variables, memory: MemoryState, keys_w, skips_w):
+        """Propagate a window of w frames as one fixed-shape program.
+
+        Windowed semantics (deliberate deviation, validated by
+        tests/test_track.py::test_windowed_propagation_quality): readout and
+        decode for all w frames batch in parallel against the window-start
+        memory and sensory state; the sensory GRU deep-updates ONCE from the
+        last frame's decoder features, and the ring write happens ONCE from the
+        last frame (XMem-style deep-update-at-write-frame, cadence = w ≡
+        mem_every).  Sequential length per video drops w×.
+
+        keys_w (w, H16, W16, Ck); skips_w dict of (w, ...) arrays.
+        Returns (probs (w, No+1, H4, W4), memory).
+        """
+        readout, memory = self._read_window(keys_w, memory)
+
+        def dec(ro, f4, f8, f16):
+            return self.net.apply(
+                variables, ro, {"f4": f4, "f8": f8, "f16": f16}, memory.sensory,
+                method=PropagationNetwork.decode, full_res=False,
+            )
+
+        logits, hidden = jax.vmap(dec)(
+            readout, skips_w["f4"], skips_w["f8"], skips_w["f16"]
+        )  # (w, No, H4, W4), (w, No, H16, W16, C)
+        act = memory.active.astype(logits.dtype)
+        probs = jax.vmap(lambda lg: soft_aggregate(lg, act))(logits)
+        sensory = self.net.apply(
+            variables, memory.sensory, hidden[-1],
+            method=PropagationNetwork.update_sensory,
+        )
+        memory = memory._replace(sensory=sensory)
+        skips_last = {k: v[-1] for k, v in skips_w.items()}
+        do_write = jnp.any(memory.active)
+        if self.enable_long_term:
+            occupied = memory.valid[memory.write_pos]
+            memory = consolidate(memory, self.num_prototypes, do_write & occupied)
+        # probs are stride-4 here; _write resizes to stride 16 (same path as
+        # full-res: both go through jax.image.resize to (h16, w16))
+        prob_s16_src = probs[-1]
+        memory = self._write(
+            variables, memory, keys_w[-1], skips_last, prob_s16_src, do_write
+        )
+        memory = memory._replace(frame_idx=memory.frame_idx + keys_w.shape[0])
+        return probs, memory
 
     def _decode_and_update(self, variables, memory, skips0, readout, full_res: bool = True):
         logits, hidden_feat = self.net.apply(
@@ -282,6 +358,18 @@ class TrackerCore:
         memory = memory._replace(frame_idx=memory.frame_idx + 1)
         return prob_out, memory, det_to_slot
 
+    def _window_impl(self, variables, memory: MemoryState, images_w):
+        """Encode + propagate a window of frames; returns full-res probs."""
+        keys, skips = self.net.apply(
+            variables, images_w, method=PropagationNetwork.encode_key
+        )
+        probs_s4, memory = self.propagate_window(variables, memory, keys, skips)
+        h, w = self.image_size
+        probs = jax.image.resize(
+            probs_s4, (probs_s4.shape[0], probs_s4.shape[1], h, w), method="bilinear"
+        )
+        return probs, memory
+
     # ------------------------------------------------------------------
     # host API (reference surface)
     # ------------------------------------------------------------------
@@ -311,6 +399,30 @@ class TrackerCore:
         img = self._prep_image(image)
         prob, self.memory = self._jit_step(self.variables, self.memory, img)
         return np.asarray(prob)
+
+    def step_batch(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """Propagate a run of detection-free frames in windows of ``mem_every``.
+
+        Windowed fast path (propagate_window semantics: batched readout/decode
+        per write window, sensory deep-update at write frames — validated by
+        tests/test_track.py::test_windowed_propagation_quality).  The last
+        window is padded by repeating the final frame; padded outputs are
+        dropped.  Returns probs (T, No+1, H, W).
+        """
+        T = len(images)
+        if T == 0:
+            return np.zeros((0,), np.float32)
+        w = max(1, self.mem_every)
+        prepped = [self._prep_image(im) for im in images]
+        pad = (-T) % w
+        prepped += [prepped[-1]] * pad
+        outs = []
+        for i in range(0, len(prepped), w):
+            chunk = jnp.stack(prepped[i : i + w])
+            probs, self.memory = self._jit_window(self.variables, self.memory, chunk)
+            outs.append(np.asarray(probs))
+        self.curr_ti += T
+        return np.concatenate(outs, axis=0)[:T]
 
     def incorporate_detection(self, image, mask, segments_info, incremental: bool = True):
         """mask: (H, W) integer id mask (ids index segments_info order, 1-based)."""

@@ -22,6 +22,57 @@ import numpy as np
 import optax
 
 
+def recalibrate_batch_stats(model, params, stats_template, batches, **apply_kwargs):
+    """Exact BN running-stat recomputation: returns batch_stats equal to the
+    (weighted) mean of each BatchNorm's true batch statistics over ``batches``.
+
+    Short finetunes leave high-momentum running averages (0.9–0.99 here, as in
+    timm/torch) far from the finetuned activation distribution, so eval-mode
+    forward passes see stale normalization even though train-mode loss is low.
+    This recovers each layer's per-batch statistics WITHOUT per-model momentum
+    knobs: flax BatchNorm in train mode normalizes by batch statistics and only
+    *writes* running stats via new = m·old + (1−m)·batch, so two train-mode
+    passes with old = 0 and old = 1 see identical activations and the pair of
+    updates solves for m and batch exactly (m = new₁ − new₀, batch = new₀/(1−m)).
+
+    batches: iterable of preprocessed input arrays (leading dim = batch).
+    apply_kwargs forwarded to model.apply (e.g. train=True is added here).
+    """
+    zeros = jax.tree.map(jnp.zeros_like, stats_template)
+    ones = jax.tree.map(jnp.ones_like, stats_template)
+
+    @jax.jit
+    def _solve(params, x):
+        _, u0 = model.apply(
+            {"params": params, "batch_stats": zeros}, x,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)}, **apply_kwargs,
+        )
+        _, u1 = model.apply(
+            {"params": params, "batch_stats": ones}, x,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)}, **apply_kwargs,
+        )
+        def leaf(n0, n1):
+            m = jnp.clip(n1 - n0, 0.0, 0.9999)  # momentum, recovered per-layer
+            return n0 / (1.0 - m)
+        return jax.tree.map(leaf, u0["batch_stats"], u1["batch_stats"])
+
+    acc = None
+    total = 0
+    for x in batches:
+        b = _solve(params, x)
+        w = x.shape[0]
+        b = jax.tree.map(lambda a: np.asarray(a, np.float64) * w, b)
+        acc = b if acc is None else jax.tree.map(np.add, acc, b)
+        total += w
+    if acc is None:
+        return stats_template
+    return jax.tree.map(
+        lambda a, old: jnp.asarray(a / total, old.dtype), acc, stats_template
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classifier
 # ---------------------------------------------------------------------------
@@ -101,6 +152,19 @@ class ClassifierFinetuner:
                 it += 1
                 if log_every and it % log_every == 0:
                     print(f"cls step {it}: loss {float(loss):.4f} acc {float(acc):.3f}")
+        if stats:
+            from yolo_puncture_tpu.models.efficientnet import preprocess_classifier
+
+            model, size = self.net.model, self.net.input_size
+            stats = recalibrate_batch_stats(
+                model, params, stats,
+                (
+                    preprocess_classifier(
+                        jnp.asarray(crops_u8[i : i + batch_size]), size, model.dtype
+                    )
+                    for i in range(0, n - batch_size + 1, batch_size)
+                ),
+            )
         self.net.variables = {"params": params, "batch_stats": stats}
         return (float(loss) if loss is not None else None,
                 float(acc) if acc is not None else None)
@@ -181,5 +245,13 @@ class UNetFinetuner:
                 it += 1
                 if log_every and it % log_every == 0:
                     print(f"u2net step {it}: loss {float(loss):.4f}")
+        if stats:
+            stats = recalibrate_batch_stats(
+                self.predictor.model, params, stats,
+                (
+                    jnp.asarray(images_rgb01[i : i + batch_size])
+                    for i in range(0, n - batch_size + 1, batch_size)
+                ),
+            )
         self.predictor.variables = {"params": params, "batch_stats": stats}
         return float(loss) if loss is not None else None
