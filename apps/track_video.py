@@ -124,6 +124,95 @@ def process_frame(tracker, yolo_model, frame_path, result_saver, ti, image_np=No
         )
 
 
+def process_video_batched(tracker, yolo_model, video_reader, result_saver):
+    """process_frame semantics with propagation-only frames batched.
+
+    Runs of consecutive ``tracker.step`` frames (between detections / voting
+    windows) go through ``TrackerCore.step_batch`` — the windowed fast path
+    (batched readout/decode per memory-write window) — instead of one device
+    round-trip per frame.  Detection, voting, and incorporate scheduling are
+    identical to process_frame; memory-op order is preserved by flushing the
+    pending run before any incorporate.
+    """
+    from yolo_puncture_tpu.track import FrameInfo
+    from yolo_puncture_tpu.track.saver import get_input_frame_for_deva
+
+    cfg = tracker.config
+    semionline = cfg.get("temporal_setting", "semionline") == "semionline"
+    min_side = cfg.get("size", 480)
+    suppress_small_mask = cfg.get("suppress_small_objects", True)
+    need_resize = min_side > 0
+    pending = []  # (image, frame_name, (h, w), image_np)
+
+    def flush_pending():
+        if not pending:
+            return
+        probs = tracker.step_batch([p[0] for p in pending])
+        for prob, (_, name, shape, image_np) in zip(probs, pending):
+            result_saver.save_mask(
+                prob, name, need_resize=need_resize, shape=shape, image_np=image_np
+            )
+        pending.clear()
+
+    for ti, (frame, im_path) in enumerate(video_reader):
+        image_np = frame
+        h, w = image_np.shape[:2]
+        image = get_input_frame_for_deva(image_np, min_side)
+        frame_name = path.basename(im_path)
+
+        if semionline:
+            if ti + cfg.get("num_voting_frames", 3) > tracker.next_voting_frame:
+                flush_pending()
+                mask, segments_info = auto_segment(
+                    cfg, image_np, yolo_model, min_side, suppress_small_mask
+                )
+                fi = FrameInfo(
+                    image, mask, segments_info, ti,
+                    {"frame": [frame_name], "shape": [h, w]}, image_np=image_np,
+                )
+                tracker.add_to_temporary_buffer(fi)
+                if ti == tracker.next_voting_frame:
+                    keyframe = tracker.frame_buffer[0]
+                    _, vmask, new_infos = tracker.vote_in_temporary_buffer(
+                        keyframe_selection="first"
+                    )
+                    prob = tracker.incorporate_detection(
+                        keyframe.image, vmask, new_infos, incremental=True
+                    )
+                    tracker.next_voting_frame += cfg.get("detection_every", 5)
+                    result_saver.save_mask(
+                        prob, keyframe.name, need_resize=need_resize, shape=(h, w),
+                        image_np=keyframe.image_np,
+                    )
+                    rest = tracker.frame_buffer[1:]
+                    if rest:
+                        probs = tracker.step_batch([f.image for f in rest])
+                        for prob, f in zip(probs, rest):
+                            result_saver.save_mask(
+                                prob, f.name, need_resize, shape=(h, w),
+                                image_np=f.image_np,
+                            )
+                    tracker.clear_buffer()
+            else:
+                pending.append((image, frame_name, (h, w), image_np))
+        else:  # online
+            if ti % cfg.get("detection_every", 5) == 0:
+                flush_pending()
+                mask, segments_info = auto_segment(
+                    cfg, image_np, yolo_model, min_side, suppress_small_mask
+                )
+                prob = tracker.incorporate_detection(
+                    image, mask, segments_info, incremental=True
+                )
+                result_saver.save_mask(
+                    prob, frame_name, need_resize=need_resize, shape=(h, w),
+                    image_np=image_np,
+                )
+            else:
+                pending.append((image, frame_name, (h, w), image_np))
+    flush_pending()
+
+
 def main(argv=None):
     import jax.numpy as jnp
 
@@ -153,6 +242,9 @@ def main(argv=None):
     parser.add_argument("--imgsz", type=int, default=640, help="detector letterbox size")
     parser.add_argument("--tracker_weights", type=str, default=None,
                         help="msgpack propagation weights (apps/train_tracker.py)")
+    parser.add_argument("--batch_propagation", action="store_true",
+                        help="batch propagation-only frames through the windowed "
+                        "fast path (TrackerCore.step_batch)")
     args = parser.parse_args(argv)
 
     cfg = {
@@ -206,8 +298,11 @@ def main(argv=None):
         object_manager=tracker.object_manager,
     )
 
-    for ti, (frame, im_path) in enumerate(video_reader):
-        process_frame(tracker, yolo_model, im_path, result_saver, ti, image_np=frame)
+    if args.batch_propagation:
+        process_video_batched(tracker, yolo_model, video_reader, result_saver)
+    else:
+        for ti, (frame, im_path) in enumerate(video_reader):
+            process_frame(tracker, yolo_model, im_path, result_saver, ti, image_np=frame)
     flush_buffer(tracker, result_saver)
     result_saver.end()
 

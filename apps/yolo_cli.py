@@ -172,7 +172,7 @@ def cmd_export(kv):
             from yolo_puncture_tpu.ops.letterbox import letterbox
             from yolo_puncture_tpu.ops.nms import select_detections
 
-            imgs, r, pad = letterbox(frames_u8[..., ::-1], imgsz, dtype=det.model.dtype)
+            imgs, r, pad = letterbox(frames_u8, imgsz, dtype=det.model.dtype, bgr_to_rgb=True)
             o = det.model.apply(variables, imgs)
             d = select_detections(
                 o, nms_free=det.version == "v10", conf_thres=0.25, max_det=det.max_det

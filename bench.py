@@ -13,11 +13,14 @@ memory scan) whose ring-buffer memory is carried ACROSS batches (true stateful
 streaming, reference semantics).  Timed steady-state on the real chip.
 
 Sync protocol: on the axon remote-TPU plugin ``jax.block_until_ready`` returns
-before execution finishes (dispatch-only), so the timed region keeps every
-iteration's small per-frame outputs (boxes/scores) and fetches them to host
-(np.asarray) before reading the clock — a host transfer cannot complete until
-the producing program has executed, which forces the whole dependency chain.
-Masks stay on device (the fused pipeline consumes them on-device).
+before execution finishes (dispatch-only), and every synchronous host fetch
+costs a ~30 ms tunnel round trip.  The timed region therefore creates an
+on-device dependency chain instead of fetching per iteration: det_step folds a
+checksum of its per-frame outputs into a carried scalar (so iteration N+1's
+program depends on N's outputs), the tracker already chains through its memory
+state, and ONE host fetch of (checksum, ids) at the end forces the whole chain
+— total fetch cost is one round trip, not one per iteration.  Masks stay on
+device (the fused pipeline consumes them on-device).
 """
 
 import json
@@ -63,20 +66,29 @@ def main():
             track_fn = None
 
     @jax.jit
-    def det_step(variables, frames_u8, conf):
-        imgs, r, pad = letterbox(frames_u8[..., ::-1], imgsz, dtype=jnp.bfloat16)
+    def det_step(variables, frames_u8, conf, chk):
+        imgs, r, pad = letterbox(frames_u8, imgsz, dtype=jnp.bfloat16, bgr_to_rgb=True)
         out = model.apply(variables, imgs)
         det = select_detections(out, nms_free=True, conf_thres=conf, max_det=8)
         masks = decode_masks(
             out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],
             (imgsz, imgsz), upsample=True, threshold=0.5,
         )
-        return {
-            "boxes": det["boxes"][:, 0],
-            "scores": det["scores"][:, 0],
-            "valid": det["valid"][:, 0],
-            "mask": masks[:, 0].astype(jnp.uint8),
-        }
+        boxes = det["boxes"][:, 0]
+        scores = det["scores"][:, 0]
+        valid = det["valid"][:, 0]
+        mask = masks[:, 0].astype(jnp.uint8)
+        # fold per-frame outputs into the carried checksum: the next iteration's
+        # program (and the final single fetch) depends on THIS batch's results
+        chk = (
+            chk
+            + boxes.astype(jnp.float32).sum()
+            + scores.astype(jnp.float32).sum()
+            + valid.sum()
+            + mask[:, ::37, ::37].astype(jnp.int32).sum()
+        )
+        return {"boxes": boxes, "scores": scores, "valid": valid, "mask": mask,
+                "chk": chk}
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -86,24 +98,24 @@ def main():
 
     # warmup / compile (np.asarray forces real completion; block_until_ready
     # is dispatch-only on the axon remote plugin)
-    out = det_step(variables, frames, conf)
-    np.asarray(out["scores"])
+    chk = jnp.float32(0)
+    out = det_step(variables, frames, conf, chk)
+    np.asarray(out["chk"])
     if track_fn is not None:
         mem, ids = track_fn(mem, frames)
         np.asarray(ids[0, 0, :4])
 
     t0 = time.perf_counter()
-    fetch = []
+    chk = jnp.float32(0)
     for _ in range(iters):
-        out = det_step(variables, frames, conf)
-        fetch.append((out["boxes"], out["scores"], out["valid"]))
+        out = det_step(variables, frames, conf, chk)
+        chk = out["chk"]
         if track_fn is not None:
             mem, ids = track_fn(mem, frames)
+    # ONE fetch forces the detector chain (chk) and the tracker chain (ids)
+    np.asarray(chk)
     if track_fn is not None:
-        np.asarray(ids[0, 0, :4])  # tracker chain: final memory forces all steps
-    for tup in fetch:  # detector: every iteration's per-frame outputs
-        for a in tup:
-            np.asarray(a)
+        np.asarray(ids[0, 0, :4])
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -74,6 +74,31 @@ def test_track_video_cli(tmp_path):
     assert len(list(ann_dir.glob("*.png"))) == 6
 
 
+@pytest.mark.parametrize("setting", ["online", "semionline"])
+def test_track_video_cli_batch_propagation(tmp_path, setting):
+    """--batch_propagation (step_batch windowed fast path) keeps the output
+    contract: one annotation + PNG per frame, same scheduling cadence."""
+    _make_video(tmp_path / "video3.mp4", n=7)
+    from apps.track_video import main
+
+    out_dir = tmp_path / f"out_{setting}"
+    main([
+        "--video_name", "video3",
+        "--img_path", str(tmp_path / "video3.mp4"),
+        "--output", str(out_dir),
+        "--model", "yolov8n-seg",
+        "--temporal_setting", setting,
+        "--detection_every", "3",
+        "--num_voting_frames", "2",
+        "--size", "64",
+        "--batch_propagation",
+    ])
+    pred = json.loads((out_dir / "pred.json").read_text())
+    assert len(pred["annotations"]) == 7
+    ann_dir = out_dir / "Annotations" / "video3"
+    assert len(list(ann_dir.glob("*.png"))) == 7
+
+
 def test_app_yolo_inference_image_mode():
     from PIL import Image
 

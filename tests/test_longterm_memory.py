@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolo_puncture_tpu.track.memory import consolidate, init_memory, write_memory
+from yolo_puncture_tpu.track.network import VALUE_DIM
 
 
 def _filled_memory(T=4, hw_side=4, No=2, P=8):
@@ -11,7 +12,7 @@ def _filled_memory(T=4, hw_side=4, No=2, P=8):
     hw = hw_side * hw_side
     for t in range(T):
         key = jnp.full((hw, 64), float(t + 1))
-        val = jnp.full((No, hw, 256), float(t + 1))
+        val = jnp.full((No, hw, VALUE_DIM), float(t + 1))
         mem = write_memory(mem, key, val, jnp.asarray(True))
     return mem
 

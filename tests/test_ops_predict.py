@@ -91,3 +91,28 @@ def test_decode_masks_shapes_and_threshold():
     assert m.shape == (B, N, 64, 64)
     vals = np.unique(np.asarray(m))
     assert set(vals).issubset({0.0, 1.0})
+
+
+def test_letterbox_integer_downscale_matches_cv2():
+    """Exact integer-ratio downscale (e.g. 720p → 640 letterbox, r=1/2) is block
+    averaging — the same kernel cv2.resize INTER_LINEAR applies at integer
+    ratios, i.e. the reference's host letterbox."""
+    import cv2
+
+    rng = np.random.default_rng(5)
+    frame = rng.integers(0, 255, (720, 1280, 3), np.uint8)
+    imgs, r, (left, top) = letterbox(jnp.asarray(frame[None]), 640)
+    assert r == 0.5 and (left, top) == (0, 140)
+    ref = cv2.resize(frame, (640, 360), interpolation=cv2.INTER_LINEAR) / 255.0
+    got = np.asarray(imgs[0, top : top + 360, :, :], np.float32)
+    np.testing.assert_allclose(got, ref, atol=1.5 / 255.0)
+    # padding rows filled with 114/255
+    np.testing.assert_allclose(np.asarray(imgs[0, :top]), 114 / 255.0, atol=1e-6)
+
+
+def test_letterbox_bgr_to_rgb_flag():
+    frame = np.zeros((8, 8, 3), np.uint8)
+    frame[..., 0] = 200  # blue channel (BGR)
+    imgs, _, _ = letterbox(jnp.asarray(frame[None]), 8, bgr_to_rgb=True)
+    assert float(imgs[0, 0, 0, 2]) == pytest.approx(200 / 255.0, abs=1e-3)
+    assert float(imgs[0, 0, 0, 0]) == 0.0

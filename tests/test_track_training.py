@@ -13,9 +13,12 @@ def test_propagation_training_improves_iou():
         image_size=(48, 64), max_objects=2, mem_frames=2, mem_every=1,
         enable_long_term=False,
     )
-    tr = PropagationTrainer(core, lr=1e-3, clip_len=3)
+    # the slim net (value_dim 128 / 128-64 decoder) needs batched gradients to
+    # learn at this toy scale; single-clip batches plateau (probed: bs=1 lr=1e-3
+    # stalls at loss≈1, bs=8 reaches loss 0.03 / IoU 0.48 in 150 steps)
+    tr = PropagationTrainer(core, lr=1e-3, clip_len=3, batch_size=8)
     iou0 = tr.eval_propagation_iou(4)
-    loss = tr.fit(steps=80, log_every=0)
+    loss = tr.fit(steps=150, log_every=0)
     iou1 = tr.eval_propagation_iou(4)
     assert loss < 0.3, f"loss did not converge: {loss}"
     assert iou1 > max(1.5 * iou0, 0.25), f"IoU {iou0:.3f} → {iou1:.3f}: no improvement"

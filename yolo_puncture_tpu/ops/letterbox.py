@@ -13,10 +13,33 @@ MXU-friendly matmuls along each axis; pad + normalize fuse into the same program
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=16)
+def _lane_mix_matrix(W: int, new_w: int, n: int, C: int, flip_c: bool, scale: float):
+    """(W·C, new_w·C) matrix: n-pixel box average along W + channel de-interleave
+    (+ optional BGR→RGB) + value scaling, as one MXU contraction.
+
+    Raw HWC frames put C (=3) in the lane dim — 3/128 lane utilization makes
+    every elementwise op on them ~40× slower than the bandwidth floor.  Viewing
+    the frame as (H, W·C) keeps lanes full (W·C is a multiple of 128 for common
+    sizes); the W-axis pooling then mixes lanes, which is exactly a matmul.
+    """
+    M = np.zeros((W * C, new_w * C), np.float32)
+    for wo in range(new_w):
+        for dw in range(n):
+            for c in range(C):
+                src = (n * wo + dw) * C + c
+                dst = wo * C + ((C - 1 - c) if flip_c else c)
+                M[src, dst] = scale
+    return M  # numpy (cached); jnp.asarray at trace time — caching a traced
+              # array would leak tracers across jit scopes
 
 
 def letterbox_params(h: int, w: int, new_shape: int, scaleup: bool = True):
@@ -41,21 +64,67 @@ def letterbox(
     pad_value: float = 114.0 / 255.0,
     dtype=jnp.float32,
     scaleup: bool = True,
+    bgr_to_rgb: bool = False,
 ) -> Tuple[jax.Array, float, Tuple[int, int]]:
     """Letterbox a batch of frames.
 
     frames: (B, H, W, 3) uint8 (BGR or RGB — caller's choice) or float in [0,1].
     Returns (images (B, new, new, 3) dtype in [0,1], ratio r, (pad_left, pad_top)).
     Shapes are static → one compiled program per input geometry.
+
+    Bandwidth design (this op reads the largest tensors in the whole pipeline —
+    e.g. 354 MB of 720p uint8 per 128-frame batch): arithmetic runs in the
+    TARGET dtype (uint8 → bf16 is half the traffic of fp32); an exact integer
+    downscale (720p → 640², r = 1/2) lowers to a reshape-mean over n×n blocks —
+    both faster than the general resize AND the same kernel cv2.resize
+    INTER_LINEAR applies at integer ratios (area averaging), i.e. closer to
+    ultralytics' host letterbox than a triangle-kernel resize.  ``bgr_to_rgb``
+    folds the channel flip in AFTER the downscale, where the tensor is ~4×
+    smaller than flipping the raw frames at the call site.
     """
     B, H, W, C = frames.shape
     r, (new_w, new_h), (left, top) = letterbox_params(H, W, new_shape, scaleup)
 
-    x = frames.astype(jnp.float32)
-    if frames.dtype == jnp.uint8:
-        x = x / 255.0
-    if (new_h, new_w) != (H, W):
+    compute = dtype if dtype != jnp.float64 else jnp.float32
+    inv_n = int(round(1.0 / r)) if r > 0 else 0
+    exact_int_down = (
+        r < 1.0
+        and inv_n >= 1
+        and H == new_h * inv_n
+        and W == new_w * inv_n
+        and abs(r * inv_n - 1.0) < 1e-9
+    )
+    if (new_h, new_w) == (H, W):
+        x = frames.astype(compute)
+        if frames.dtype == jnp.uint8:
+            x = x / compute(255.0)
+        if bgr_to_rgb:
+            x = x[..., ::-1]
+        bgr_to_rgb = False
+    elif exact_int_down:
+        # (H, W·C)-layout path: full-lane H-pair sum on sublanes, then one MXU
+        # matmul for W pooling + channel de-interleave + BGR flip + /255 — the
+        # only formulation that avoids C=3-minor elementwise ops on raw frames
+        # (those run at 3/128 lane utilization, ~6× slower than this).
+        n = inv_n
+        value_scale = 1.0 / (n * n * (255.0 if frames.dtype == jnp.uint8 else 1.0))
+        mix = jnp.asarray(
+            _lane_mix_matrix(W, new_w, n, C, bgr_to_rgb, value_scale)
+        ).astype(compute)
+        bgr_to_rgb = False
+        x = frames.reshape(B, H, W * C).astype(compute)
+        x = x.reshape(B, new_h, n, W * C).sum(axis=2)
+        x = jax.lax.dot_general(
+            x, mix, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(compute)
+        x = x.reshape(B, new_h, new_w, C)
+    else:
+        x = frames.astype(compute)
+        if frames.dtype == jnp.uint8:
+            x = x / compute(255.0)
         x = jax.image.resize(x, (B, new_h, new_w, C), method="bilinear")
+    if bgr_to_rgb:
+        x = x[..., ::-1]
     x = jnp.pad(
         x,
         ((0, 0), (top, new_shape - new_h - top), (left, new_shape - new_w - left), (0, 0)),

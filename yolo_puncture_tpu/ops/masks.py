@@ -12,10 +12,41 @@ the portable reference path (XLA already fuses the chain into the matmul epilogu
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=8)
+def _interp_matrix(src: int, dst: int) -> np.ndarray:
+    """(src, dst) bilinear interpolation matrix, half-pixel centers (the same
+    sampling jax.image.resize/cv2 use for upscaling).  Lets the mask upsample
+    run as two MXU matmuls instead of a gather-based resize.  Returns numpy
+    (cached); converted to a device constant at trace time."""
+    M = np.zeros((src, dst), np.float32)
+    scale = src / dst
+    for j in range(dst):
+        x = (j + 0.5) * scale - 0.5
+        i0 = int(np.floor(x))
+        f = x - i0
+        i0c, i1c = np.clip(i0, 0, src - 1), np.clip(i0 + 1, 0, src - 1)
+        M[i0c, j] += 1.0 - f
+        M[i1c, j] += f
+    return M
+
+
+def upsample_bilinear_matmul(x: jax.Array, H: int, W: int) -> jax.Array:
+    """(…, h, w) → (…, H, W) bilinear upsample as two matmul contractions."""
+    h, w = x.shape[-2], x.shape[-1]
+    mh = jnp.asarray(_interp_matrix(h, H)).astype(x.dtype)
+    mw = jnp.asarray(_interp_matrix(w, W)).astype(x.dtype)
+    x = jnp.einsum("...hw,hH->...Hw", x, mh, preferred_element_type=jnp.float32)
+    x = jnp.einsum("...Hw,wW->...HW", x.astype(mh.dtype), mw,
+                   preferred_element_type=jnp.float32)
+    return x.astype(mh.dtype)
 
 
 def crop_masks(masks: jax.Array, boxes: jax.Array) -> jax.Array:
@@ -61,15 +92,21 @@ def decode_masks(
         "bnm,bhwm->bnhw", coeffs.astype(jnp.float32), protos.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    masks = jax.nn.sigmoid(logits)
+    # post-matmul chain (sigmoid → ×16-area upsample → crop → threshold) runs in
+    # the model compute dtype: at bf16 the upsampled (B, N, H, W) tensor — the
+    # largest intermediate in the predict path — carries half the HBM traffic,
+    # and thresholding makes the boundary-pixel rounding moot.  fp32 models keep
+    # the exact fp32 chain (golden parity path).
+    cdtype = protos.dtype if protos.dtype == jnp.bfloat16 else jnp.float32
+    masks = jax.nn.sigmoid(logits).astype(cdtype)
     if upsample and (Hp, Wp) != (H, W):
-        masks = jax.image.resize(masks, (B, masks.shape[1], H, W), method="bilinear")
-        masks = crop_masks(masks, boxes)
+        masks = upsample_bilinear_matmul(masks, H, W)
+        masks = crop_masks(masks, boxes.astype(cdtype))
     else:
-        scale = jnp.array([Wp / W, Hp / H, Wp / W, Hp / H], dtype=boxes.dtype)
-        masks = crop_masks(masks, boxes * scale)
+        scale = jnp.array([Wp / W, Hp / H, Wp / W, Hp / H], dtype=cdtype)
+        masks = crop_masks(masks, boxes.astype(cdtype) * scale)
     if threshold is not None:
-        masks = (masks > threshold).astype(jnp.float32)
+        masks = (masks > threshold).astype(cdtype)
     return masks
 
 

@@ -87,8 +87,10 @@ class VideoSpeedPipeline:
 
         def run(det_vars, cls_vars, frames_u8, conf):
             B = frames_u8.shape[0]
-            rgb = frames_u8[..., ::-1]
-            imgs, r, pad = letterbox(rgb, imgsz, dtype=det_model.dtype)
+            # BGR→RGB folds into letterbox AFTER the downscale (≈4× less traffic)
+            imgs, r, pad = letterbox(
+                frames_u8, imgsz, dtype=det_model.dtype, bgr_to_rgb=True
+            )
             out = det_model.apply(det_vars, imgs)
             det = select_detections(
                 out, nms_free=nms_free, conf_thres=conf, iou_thres=0.7, max_det=8
@@ -133,6 +135,9 @@ class VideoSpeedPipeline:
                 y2 = jnp.minimum(cy + half, h0)
                 wv = jnp.maximum(x2 - x1, 0)
                 hv = jnp.maximum(y2 - y1, 0)
+                # classifier crops read the ORIGINAL-resolution frames (the
+                # detector path only sees the letterboxed downscale)
+                rgb = frames_u8[..., ::-1]
                 padded = jnp.pad(rgb, ((0, 0), (0, crop), (0, crop), (0, 0)))
 
                 def crop_one(img, yy, xx, hh, ww):

@@ -111,9 +111,9 @@ class YOLO:
 
         @jax.jit
         def run(variables, frames_u8, conf, iou):
-            # BGR (cv2 convention, reference passes cv2 frames) → RGB on device
-            frames = frames_u8[..., ::-1]
-            imgs, r, pad = letterbox(frames, imgsz, dtype=model.dtype)
+            # BGR (cv2 convention, reference passes cv2 frames) → RGB on device,
+            # folded into letterbox after the downscale (≈4× less traffic)
+            imgs, r, pad = letterbox(frames_u8, imgsz, dtype=model.dtype, bgr_to_rgb=True)
             out = model.apply(variables, imgs)
             det = select_detections(
                 out, nms_free=nms_free, conf_thres=conf, iou_thres=iou, max_det=max_det

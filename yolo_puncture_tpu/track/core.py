@@ -170,7 +170,7 @@ class TrackerCore:
         # HBM traffic; softmax statistics stay fp32 inside the readout)
         self.memory: MemoryState = init_memory(
             self.h16, self.w16, max_objects, mem_frames, dtype,
-            num_prototypes=lt_capacity,
+            num_prototypes=lt_capacity, value_dim=self.net.value_dim,
         )
         self.object_manager = ObjectManager(max_objects)
 
@@ -365,9 +365,9 @@ class TrackerCore:
         )
         probs_s4, memory = self.propagate_window(variables, memory, keys, skips)
         h, w = self.image_size
-        probs = jax.image.resize(
-            probs_s4, (probs_s4.shape[0], probs_s4.shape[1], h, w), method="bilinear"
-        )
+        from yolo_puncture_tpu.ops.masks import upsample_bilinear_matmul
+
+        probs = upsample_bilinear_matmul(probs_s4, h, w)
         return probs, memory
 
     # ------------------------------------------------------------------

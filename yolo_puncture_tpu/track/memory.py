@@ -43,16 +43,17 @@ def init_memory(
     mem_frames: int,
     dtype=jnp.float32,
     num_prototypes: int = 128,
+    value_dim: int = VALUE_DIM,
 ) -> MemoryState:
     hw = h16 * w16
     return MemoryState(
         keys=jnp.zeros((mem_frames, hw, KEY_DIM), dtype),
-        values=jnp.zeros((max_objects, mem_frames, hw, VALUE_DIM), dtype),
+        values=jnp.zeros((max_objects, mem_frames, hw, value_dim), dtype),
         valid=jnp.zeros((mem_frames,), bool),
         write_pos=jnp.zeros((), jnp.int32),
         usage=jnp.zeros((mem_frames, hw), jnp.float32),
         lt_keys=jnp.zeros((num_prototypes, KEY_DIM), dtype),
-        lt_values=jnp.zeros((max_objects, num_prototypes, VALUE_DIM), dtype),
+        lt_values=jnp.zeros((max_objects, num_prototypes, value_dim), dtype),
         lt_valid=jnp.zeros((num_prototypes,), bool),
         lt_pos=jnp.zeros((), jnp.int32),
         sensory=jnp.zeros((max_objects, h16, w16, SENSORY_DIM), dtype),

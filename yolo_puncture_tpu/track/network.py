@@ -27,7 +27,7 @@ from yolo_puncture_tpu.nn.common import C2f, ConvBN
 Dtype = Any
 
 KEY_DIM = 64
-VALUE_DIM = 256
+VALUE_DIM = 128
 SENSORY_DIM = 64
 
 
@@ -48,6 +48,7 @@ class KeyEncoder(nn.Module):
     TPU layout: space-to-depth(4) stem, all convs ≥128 channels (MXU tiling)."""
 
     dtype: Dtype = jnp.float32
+    stage3_n: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -57,7 +58,7 @@ class KeyEncoder(nn.Module):
         y = ConvBN(256, 3, 2, dtype=self.dtype, name="down2")(f4, train)       # /8
         f8 = C2f(256, 1, True, dtype=self.dtype, name="stage2")(y, train)
         y = ConvBN(256, 3, 2, dtype=self.dtype, name="down3")(f8, train)       # /16
-        f16 = C2f(256, 2, True, dtype=self.dtype, name="stage3")(y, train)
+        f16 = C2f(256, self.stage3_n, True, dtype=self.dtype, name="stage3")(y, train)
         key = ConvBN(KEY_DIM, 1, 1, act=False, dtype=self.dtype, name="key_proj")(
             f16, train
         )
@@ -68,6 +69,7 @@ class ValueEncoder(nn.Module):
     """(image features f16, object mask) → memory value (stride 16), per object."""
 
     dtype: Dtype = jnp.float32
+    value_dim: int = VALUE_DIM
 
     @nn.compact
     def __call__(self, f16, mask_s16, sensory, train: bool = False):
@@ -77,9 +79,9 @@ class ValueEncoder(nn.Module):
         x = jnp.concatenate([f, mask_s16, sensory], axis=-1)
         y = ConvBN(256, 3, 1, dtype=self.dtype, name="fuse1")(x, train)
         y = C2f(256, 1, True, dtype=self.dtype, name="block")(y, train)
-        return ConvBN(VALUE_DIM, 1, 1, act=False, dtype=self.dtype, name="value_proj")(
-            y, train
-        )
+        return ConvBN(
+            self.value_dim, 1, 1, act=False, dtype=self.dtype, name="value_proj"
+        )(y, train)
 
 
 class SensoryUpdater(nn.Module):
@@ -109,6 +111,8 @@ class MaskDecoder(nn.Module):
     upsampled ×4; soft-aggregated outside."""
 
     dtype: Dtype = jnp.float32
+    in_dim: int = 128
+    dec_dim: int = 64
 
     @nn.compact
     def __call__(self, readout, skips, sensory, train: bool = False, full_res: bool = True):
@@ -117,39 +121,50 @@ class MaskDecoder(nn.Module):
         # outside a scan — cheaper than per-frame full-res work)
         No = readout.shape[0]
         x = jnp.concatenate([readout, sensory], axis=-1)
-        x = ConvBN(256, 3, 1, dtype=self.dtype, name="in_conv")(x, train)
+        x = ConvBN(self.in_dim, 3, 1, dtype=self.dtype, name="in_conv")(x, train)
         hidden_feat = x  # for sensory update
 
         def up(x):
             return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
-        f8 = ConvBN(128, 1, 1, dtype=self.dtype, name="skip8")(skips["f8"], train)
-        x = ConvBN(128, 3, 1, dtype=self.dtype, name="dec8")(up(x), train)
+        f8 = ConvBN(self.dec_dim, 1, 1, dtype=self.dtype, name="skip8")(skips["f8"], train)
+        x = ConvBN(self.dec_dim, 3, 1, dtype=self.dtype, name="dec8")(up(x), train)
         x = x + jnp.broadcast_to(f8[None], (No, *f8.shape))
-        f4 = ConvBN(128, 1, 1, dtype=self.dtype, name="skip4")(skips["f4"], train)
-        x = ConvBN(128, 3, 1, dtype=self.dtype, name="dec4")(up(x), train)
+        f4 = ConvBN(self.dec_dim, 1, 1, dtype=self.dtype, name="skip4")(skips["f4"], train)
+        x = ConvBN(self.dec_dim, 3, 1, dtype=self.dtype, name="dec4")(up(x), train)
         x = x + jnp.broadcast_to(f4[None], (No, *f4.shape))
         logits_s4 = nn.Conv(1, (1, 1), dtype=self.dtype, name="out")(x)  # (No, H4, W4, 1)
         if not full_res:
             return logits_s4[..., 0], hidden_feat
-        logits = jax.image.resize(
-            logits_s4,
-            (No, logits_s4.shape[1] * 4, logits_s4.shape[2] * 4, 1),
-            method="bilinear",
+        from yolo_puncture_tpu.ops.masks import upsample_bilinear_matmul
+
+        logits = upsample_bilinear_matmul(
+            logits_s4[..., 0], logits_s4.shape[1] * 4, logits_s4.shape[2] * 4
         )
-        return logits[..., 0], hidden_feat
+        return logits, hidden_feat
 
 
 class PropagationNetwork(nn.Module):
-    """Bundles the submodules; apply with method= to reach each piece."""
+    """Bundles the submodules; apply with method= to reach each piece.
+
+    Channel dims are tuned for throughput on the puncture workload (≤4 thin
+    objects): value_dim 128 and a 128/64 decoder cut the per-frame readout
+    value matmul and the stride-4/8 decode convs ~4× vs the first-cut 256/128
+    design with no measurable propagation-IoU loss after retraining
+    (apps/train_tracker.py; tests/test_track.py::test_windowed_propagation_quality).
+    """
 
     dtype: Dtype = jnp.float32
+    value_dim: int = VALUE_DIM
+    in_dim: int = 128
+    dec_dim: int = 64
+    stage3_n: int = 1
 
     def setup(self):
-        self.key_encoder = KeyEncoder(dtype=self.dtype)
-        self.value_encoder = ValueEncoder(dtype=self.dtype)
+        self.key_encoder = KeyEncoder(dtype=self.dtype, stage3_n=self.stage3_n)
+        self.value_encoder = ValueEncoder(dtype=self.dtype, value_dim=self.value_dim)
         self.sensory = SensoryUpdater(dtype=self.dtype)
-        self.decoder = MaskDecoder(dtype=self.dtype)
+        self.decoder = MaskDecoder(dtype=self.dtype, in_dim=self.in_dim, dec_dim=self.dec_dim)
 
     def encode_key(self, image, train: bool = False):
         return self.key_encoder(image, train)
@@ -171,7 +186,7 @@ class PropagationNetwork(nn.Module):
         mask_s16 = jnp.zeros((No, H16, W16, 1), self.dtype)
         sens = jnp.zeros((No, H16, W16, SENSORY_DIM), self.dtype)
         value = self.encode_value(skips["f16"][0], mask_s16, sens)
-        readout = jnp.zeros((No, H16, W16, VALUE_DIM), self.dtype)
+        readout = jnp.zeros((No, H16, W16, self.value_dim), self.dtype)
         logits, hidden_feat = self.decode(
             readout, {k: v[0] for k, v in skips.items()}, sens
         )
