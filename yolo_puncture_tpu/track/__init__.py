@@ -65,25 +65,7 @@ def build_bench_tracker(
         )
 
         if window > 1:
-            assert B % window == 0, f"batch {B} must be a multiple of window {window}"
-            nw = B // window
-
-            def wshape(a):
-                return a.reshape(nw, window, *a.shape[1:])
-
-            def body(memory, inp):
-                keys_w, f4, f8, f16 = inp
-                probs, memory = core.propagate_window(
-                    variables, memory, keys_w, {"f4": f4, "f8": f8, "f16": f16}
-                )
-                return memory, jnp.argmax(probs, axis=1).astype(jnp.uint8)
-
-            memory, ids_s4 = jax.lax.scan(
-                body, memory,
-                (wshape(keys), wshape(skips["f4"]), wshape(skips["f8"]),
-                 wshape(skips["f16"])),
-            )
-            ids_s4 = ids_s4.reshape(B, *ids_s4.shape[2:])
+            memory, ids_s4 = core.propagate_frames(variables, memory, keys, skips, window)
         else:
             def body(memory, inp):
                 key, f4, f8, f16 = inp

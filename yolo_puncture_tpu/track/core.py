@@ -358,6 +358,34 @@ class TrackerCore:
         memory = memory._replace(frame_idx=memory.frame_idx + 1)
         return prob_out, memory, det_to_slot
 
+    def propagate_frames(self, variables, memory: MemoryState, keys, skips, window: int):
+        """Scan ``propagate_window`` over B = nw·window encoded frames.
+
+        keys (B, H16, W16, Ck); skips dict of (B, ...) arrays.  Returns
+        (memory, ids_s4 (B, H4, W4) uint8) — argmax id maps at stride 4
+        (callers batch any full-res upsample outside the scan).
+        """
+        B = keys.shape[0]
+        assert B % window == 0, f"batch {B} must be a multiple of window {window}"
+        nw = B // window
+
+        def wshape(a):
+            return a.reshape(nw, window, *a.shape[1:])
+
+        def body(memory, inp):
+            keys_w, f4, f8, f16 = inp
+            probs, memory = self.propagate_window(
+                variables, memory, keys_w, {"f4": f4, "f8": f8, "f16": f16}
+            )
+            return memory, jnp.argmax(probs, axis=1).astype(jnp.uint8)
+
+        memory, ids_s4 = jax.lax.scan(
+            body, memory,
+            (wshape(keys), wshape(skips["f4"]), wshape(skips["f8"]),
+             wshape(skips["f16"])),
+        )
+        return memory, ids_s4.reshape(B, *ids_s4.shape[2:])
+
     def _window_impl(self, variables, memory: MemoryState, images_w):
         """Encode + propagate a window of frames; returns full-res probs."""
         keys, skips = self.net.apply(
