@@ -263,14 +263,16 @@ class TrackerCore:
         """
         readout, memory = self._read_window(keys_w, memory)
 
-        def dec(ro, f4, f8, f16):
+        dec_keys = sorted(skips_w)
+
+        def dec(ro, *feats):
             return self.net.apply(
-                variables, ro, {"f4": f4, "f8": f8, "f16": f16}, memory.sensory,
+                variables, ro, dict(zip(dec_keys, feats)), memory.sensory,
                 method=PropagationNetwork.decode, full_res=False,
             )
 
         logits, hidden = jax.vmap(dec)(
-            readout, skips_w["f4"], skips_w["f8"], skips_w["f16"]
+            readout, *[skips_w[k] for k in dec_keys]
         )  # (w, No, H4, W4), (w, No, H16, W16, C)
         act = memory.active.astype(logits.dtype)
         probs = jax.vmap(lambda lg: soft_aggregate(lg, act))(logits)
@@ -369,20 +371,25 @@ class TrackerCore:
         assert B % window == 0, f"batch {B} must be a multiple of window {window}"
         nw = B // window
 
+        # 1×1 skip projections are memory-independent: run them batched over
+        # ALL frames here (full MXU utilization) instead of inside the scan;
+        # raw f4/f8 are then not needed by the scan body (only f16 for writes)
+        proj = self.net.apply(
+            variables, skips, method=PropagationNetwork.project_skips
+        )
+        scan_skips = {"f16": skips["f16"], "f4p": proj["f4p"], "f8p": proj["f8p"]}
+
         def wshape(a):
             return a.reshape(nw, window, *a.shape[1:])
 
         def body(memory, inp):
-            keys_w, f4, f8, f16 = inp
-            probs, memory = self.propagate_window(
-                variables, memory, keys_w, {"f4": f4, "f8": f8, "f16": f16}
-            )
+            keys_w, sk = inp
+            probs, memory = self.propagate_window(variables, memory, keys_w, sk)
             return memory, jnp.argmax(probs, axis=1).astype(jnp.uint8)
 
         memory, ids_s4 = jax.lax.scan(
             body, memory,
-            (wshape(keys), wshape(skips["f4"]), wshape(skips["f8"]),
-             wshape(skips["f16"])),
+            (wshape(keys), {k: wshape(v) for k, v in scan_skips.items()}),
         )
         return memory, ids_s4.reshape(B, *ids_s4.shape[2:])
 

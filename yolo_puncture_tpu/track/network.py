@@ -114,9 +114,26 @@ class MaskDecoder(nn.Module):
     in_dim: int = 128
     dec_dim: int = 64
 
+    def setup(self):
+        # declared in setup (not inline) so project_skips can apply them from
+        # outside the propagation scan; attribute names keep the param paths
+        # identical to the original inline name="skip8"/"skip4" modules
+        self.skip8 = ConvBN(self.dec_dim, 1, 1, dtype=self.dtype)
+        self.skip4 = ConvBN(self.dec_dim, 1, 1, dtype=self.dtype)
+
+    def project_skips(self, skips, train: bool = False):
+        """Batched 1×1 skip projections (memory-independent — hoist out of scans)."""
+        return {
+            "f8p": self.skip8(skips["f8"], train),
+            "f4p": self.skip4(skips["f4"], train),
+        }
+
     @nn.compact
     def __call__(self, readout, skips, sensory, train: bool = False, full_res: bool = True):
-        # readout: (No, H16, W16, Cv); skips f8 (H8, W8, C), f4
+        # readout: (No, H16, W16, Cv); skips f8 (H8, W8, C), f4 — or, when keys
+        # "f8p"/"f4p" are present, skip features ALREADY projected by
+        # project_skips (hoisted out of the propagation scan: the 1×1 skip convs
+        # are memory-independent, so callers run them batched over all frames)
         # full_res=False returns stride-4 logits (callers batch the ×4 upsample
         # outside a scan — cheaper than per-frame full-res work)
         No = readout.shape[0]
@@ -127,10 +144,10 @@ class MaskDecoder(nn.Module):
         def up(x):
             return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
-        f8 = ConvBN(self.dec_dim, 1, 1, dtype=self.dtype, name="skip8")(skips["f8"], train)
+        f8 = skips["f8p"] if "f8p" in skips else self.skip8(skips["f8"], train)
         x = ConvBN(self.dec_dim, 3, 1, dtype=self.dtype, name="dec8")(up(x), train)
         x = x + jnp.broadcast_to(f8[None], (No, *f8.shape))
-        f4 = ConvBN(self.dec_dim, 1, 1, dtype=self.dtype, name="skip4")(skips["f4"], train)
+        f4 = skips["f4p"] if "f4p" in skips else self.skip4(skips["f4"], train)
         x = ConvBN(self.dec_dim, 3, 1, dtype=self.dtype, name="dec4")(up(x), train)
         x = x + jnp.broadcast_to(f4[None], (No, *f4.shape))
         logits_s4 = nn.Conv(1, (1, 1), dtype=self.dtype, name="out")(x)  # (No, H4, W4, 1)
@@ -177,6 +194,9 @@ class PropagationNetwork(nn.Module):
 
     def decode(self, readout, skips, sensory, train: bool = False, full_res: bool = True):
         return self.decoder(readout, skips, sensory, train, full_res)
+
+    def project_skips(self, skips, train: bool = False):
+        return self.decoder.project_skips(skips, train)
 
     def __call__(self, image):
         # init-only path: build all params with dummy shapes
@@ -238,15 +258,21 @@ def memory_readout_dense(query_key, mem_keys, mem_values, mem_valid, return_usag
     aff = jnp.where(valid, aff, -jnp.inf)
     m = jnp.max(jnp.where(valid, aff, -jnp.inf), axis=-1, keepdims=True)
     m = jnp.where(jnp.isfinite(m), m, 0.0)  # all-invalid rows → zero readout
-    p = jnp.exp(aff - m) * valid
-    w = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-9)
+    # unnormalized weights in the value dtype; the softmax denominator divides
+    # the (No, Q, Cv) readout AFTER the matmul — one fewer pass over the (Q, M)
+    # tensor, which is the largest intermediate of the whole tracker step
+    p = (jnp.exp(aff - m) * valid).astype(mem_values.dtype)
+    l = jnp.maximum(jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True), 1e-9)
     out = jnp.einsum(
-        "qm,nmc->nqc", w.astype(mem_values.dtype), mem_values,
-        preferred_element_type=jnp.float32,
-    ).astype(mem_values.dtype)
+        "qm,nmc->nqc", p, mem_values, preferred_element_type=jnp.float32
+    )
+    out = (out / l[None]).astype(mem_values.dtype)
     if return_usage:
         # per-memory-element attention mass (long-term consolidation signal)
-        return out, jnp.sum(w, axis=0).astype(jnp.float32)
+        usage = jnp.einsum(
+            "qm,qo->m", p.astype(jnp.float32), (1.0 / l)
+        )
+        return out, usage
     return out
 
 
