@@ -245,6 +245,9 @@ def main(argv=None):
     parser.add_argument("--batch_propagation", action="store_true",
                         help="batch propagation-only frames through the windowed "
                         "fast path (TrackerCore.step_batch)")
+    parser.add_argument("--align_voting", action="store_true",
+                        help="project buffered detections into keyframe coords "
+                        "(key-affinity correspondence) before semionline voting")
     args = parser.parse_args(argv)
 
     cfg = {
@@ -259,6 +262,7 @@ def main(argv=None):
         "min_mid_term_frames": args.min_mid_term_frames,
         "num_prototypes": args.num_prototypes,
         "max_long_term_elements": args.max_long_term_elements,
+        "align_voting": args.align_voting,
         "video_name": args.video_name,
         "det_imgsz": args.imgsz,
     }

@@ -240,3 +240,36 @@ def test_step_batch_contract(tracker):
     assert probs.shape == (5, 5, 64, 96)
     np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-3)
     assert tracker.memory_engaged
+
+
+def test_align_mask_to_follows_motion():
+    """Key-affinity alignment projects a mask onto the object's new position
+    (trained keys required — random-init attention is near-uniform)."""
+    import os
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "resources", "weights",
+        "tracker_propagation.msgpack",
+    )
+    if not os.path.exists(ckpt):
+        pytest.skip("no shipped tracker checkpoint")
+    h, w = 64, 96
+    core = TrackerCore(image_size=(h, w), max_objects=4, mem_frames=4, variables=ckpt)
+    rng = np.random.default_rng(7)
+    bg1 = (rng.uniform(0, 0.1, (h, w, 3)) * 255).astype(np.uint8)
+    bg2 = (rng.uniform(0, 0.1, (h, w, 3)) * 255).astype(np.uint8)
+    src = bg1.copy(); dst = bg2.copy()
+    src[20:44, 8:28] = 230   # bar at x=8 in src
+    dst[20:44, 56:76] = 230  # bar at x=56 in dst
+    mask_src = np.zeros((h, w), np.int32)
+    mask_src[20:44, 8:28] = 1
+    aligned = core.align_mask_to(dst, src, mask_src)
+    gt = np.zeros((h, w), bool)
+    gt[20:44, 56:76] = True
+    got = aligned == 1
+    inter = (got & gt).sum()
+    union = (got | gt).sum()
+    assert union > 0 and inter / union > 0.25, f"aligned IoU {inter/max(union,1):.2f}"
+    # and the OLD location should not dominate
+    old = np.zeros((h, w), bool); old[20:44, 8:28] = True
+    assert (got & old).sum() <= inter, "alignment stuck at source location"

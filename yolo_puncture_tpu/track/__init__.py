@@ -72,14 +72,16 @@ def build_bench_tracker(
                 skips0 = {"f4": f4, "f8": f8, "f16": f16}
                 readout, memory = core._read(key, memory)
                 # decode at stride 4: full-res upsample happens ONCE, batched, below
-                prob_s4, sensory = core._decode_and_update(
+                prob_s4, prob_s16, sensory = core._decode_and_update(
                     variables, memory, skips0, readout, full_res=False
                 )
                 memory = memory._replace(sensory=sensory)
                 do_write = (memory.frame_idx % core.mem_every == 0) & jnp.any(
                     memory.active
                 )
-                memory = core._write(variables, memory, key, skips0, prob_s4, do_write)
+                memory = core._write(
+                    variables, memory, key, f16, prob_s16[1:], do_write
+                )
                 memory = memory._replace(frame_idx=memory.frame_idx + 1)
                 return memory, jnp.argmax(prob_s4, axis=0).astype(jnp.uint8)
 

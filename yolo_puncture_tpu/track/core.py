@@ -183,6 +183,7 @@ class TrackerCore:
         self._jit_step = jax.jit(self._step_impl)
         self._jit_incorporate = jax.jit(self._incorporate_impl)
         self._jit_window = jax.jit(self._window_impl)
+        self._jit_align = jax.jit(self._align_impl)
 
     # ------------------------------------------------------------------
     # device programs
@@ -247,6 +248,56 @@ class TrackerCore:
         ).transpose(1, 0, 2, 3, 4)
         return readout, memory
 
+    def _propagate_scan_core(self, variables, memory: MemoryState, keys_w, f16_w):
+        """Memory-coupled part of one window: readout → decoder HEAD (stride-16
+        hidden + write-mask logits) → sensory deep-update → ring write.
+
+        The expensive stride-4/8 decode tail is memory-independent given the
+        hidden state, so callers run it batched OUTSIDE the scan
+        (decode_tail).  The write consumes the stride-16 head mask — the old
+        path downsampled the stride-4 decode to stride 16 for the value
+        encoder anyway, so the information content of the write is unchanged
+        (XMem-style deep update at write frames).
+
+        keys_w (w, H16, W16, Ck); f16_w (w, H16, W16, C).
+        Returns (memory, hidden (w, No, H16, W16, C), logits16 (w, No, H16, W16)).
+        """
+        readout, memory = self._read_window(keys_w, memory)
+
+        def headf(ro):
+            return self.net.apply(
+                variables, ro, memory.sensory, method=PropagationNetwork.decode_head
+            )
+
+        hidden, logits16 = jax.vmap(headf)(readout)
+        act = memory.active.astype(logits16.dtype)
+        prob16_last = soft_aggregate(logits16[-1], act)
+        sensory = self.net.apply(
+            variables, memory.sensory, hidden[-1],
+            method=PropagationNetwork.update_sensory,
+        )
+        memory = memory._replace(sensory=sensory)
+        do_write = jnp.any(memory.active)
+        if self.enable_long_term:
+            occupied = memory.valid[memory.write_pos]
+            memory = consolidate(memory, self.num_prototypes, do_write & occupied)
+        memory = self._write(
+            variables, memory, keys_w[-1], f16_w[-1], prob16_last[1:], do_write
+        )
+        memory = memory._replace(frame_idx=memory.frame_idx + keys_w.shape[0])
+        return memory, hidden, logits16
+
+    def _decode_tail_batch(self, variables, hidden, f8p, f4p):
+        """Batched decode tail: hidden (N, No, H16, W16, C), f8p/f4p (N, …) →
+        stride-4 probs (N, No+1, H4, W4) (memory-independent)."""
+
+        def tail(h, f8, f4):
+            return self.net.apply(
+                variables, h, f8, f4, method=PropagationNetwork.decode_tail
+            )
+
+        return jax.vmap(tail)(hidden, f8p, f4p)  # (N, No, H4, W4)
+
     def propagate_window(self, variables, memory: MemoryState, keys_w, skips_w):
         """Propagate a window of w frames as one fixed-shape program.
 
@@ -255,66 +306,50 @@ class TrackerCore:
         decode for all w frames batch in parallel against the window-start
         memory and sensory state; the sensory GRU deep-updates ONCE from the
         last frame's decoder features, and the ring write happens ONCE from the
-        last frame (XMem-style deep-update-at-write-frame, cadence = w ≡
-        mem_every).  Sequential length per video drops w×.
+        last frame's stride-16 head mask (XMem-style deep-update-at-write-frame,
+        cadence = w ≡ mem_every).  Sequential length per video drops w×.
 
-        keys_w (w, H16, W16, Ck); skips_w dict of (w, ...) arrays.
+        keys_w (w, H16, W16, Ck); skips_w dict of (w, ...) arrays (raw f4/f8
+        or preprojected f4p/f8p; f16 always).
         Returns (probs (w, No+1, H4, W4), memory).
         """
-        readout, memory = self._read_window(keys_w, memory)
-
-        dec_keys = sorted(skips_w)
-
-        def dec(ro, *feats):
-            return self.net.apply(
-                variables, ro, dict(zip(dec_keys, feats)), memory.sensory,
-                method=PropagationNetwork.decode, full_res=False,
+        if "f4p" in skips_w:
+            f4p, f8p = skips_w["f4p"], skips_w["f8p"]
+        else:
+            proj = self.net.apply(
+                variables, {"f4": skips_w["f4"], "f8": skips_w["f8"]},
+                method=PropagationNetwork.project_skips,
             )
-
-        logits, hidden = jax.vmap(dec)(
-            readout, *[skips_w[k] for k in dec_keys]
-        )  # (w, No, H4, W4), (w, No, H16, W16, C)
-        act = memory.active.astype(logits.dtype)
-        probs = jax.vmap(lambda lg: soft_aggregate(lg, act))(logits)
-        sensory = self.net.apply(
-            variables, memory.sensory, hidden[-1],
-            method=PropagationNetwork.update_sensory,
+            f4p, f8p = proj["f4p"], proj["f8p"]
+        act = memory.active
+        memory, hidden, _ = self._propagate_scan_core(
+            variables, memory, keys_w, skips_w["f16"]
         )
-        memory = memory._replace(sensory=sensory)
-        skips_last = {k: v[-1] for k, v in skips_w.items()}
-        do_write = jnp.any(memory.active)
-        if self.enable_long_term:
-            occupied = memory.valid[memory.write_pos]
-            memory = consolidate(memory, self.num_prototypes, do_write & occupied)
-        # probs are stride-4 here; _write resizes to stride 16 (same path as
-        # full-res: both go through jax.image.resize to (h16, w16))
-        prob_s16_src = probs[-1]
-        memory = self._write(
-            variables, memory, keys_w[-1], skips_last, prob_s16_src, do_write
-        )
-        memory = memory._replace(frame_idx=memory.frame_idx + keys_w.shape[0])
+        logits_s4 = self._decode_tail_batch(variables, hidden, f8p, f4p)
+        actf = act.astype(logits_s4.dtype)
+        probs = jax.vmap(lambda lg: soft_aggregate(lg, actf))(logits_s4)
         return probs, memory
 
     def _decode_and_update(self, variables, memory, skips0, readout, full_res: bool = True):
-        logits, hidden_feat = self.net.apply(
+        logits, hidden_feat, logits_s16 = self.net.apply(
             variables, readout, skips0, memory.sensory,
             method=PropagationNetwork.decode, full_res=full_res,
         )
         sensory = self.net.apply(
             variables, memory.sensory, hidden_feat, method=PropagationNetwork.update_sensory
         )
-        prob = soft_aggregate(logits, memory.active.astype(logits.dtype))
-        return prob, sensory
+        act = memory.active.astype(logits.dtype)
+        prob = soft_aggregate(logits, act)
+        prob_s16 = soft_aggregate(logits_s16, act)
+        return prob, prob_s16, sensory
 
-    def _write(self, variables, memory, key, skips0, prob, do_write):
+    def _write(self, variables, memory, key, f16, fg_s16, do_write):
+        """fg_s16: (No, h16, w16) per-object foreground probs at stride 16."""
+
         def compute_and_write(memory):
-            # per-object stride-16 soft mask from the aggregated prob
-            fg = prob[1:]  # (No, H, W)
-            mask_s16 = jax.image.resize(
-                fg, (self.max_objects, self.h16, self.w16), method="bilinear"
-            )[..., None]
+            mask_s16 = fg_s16[..., None]
             value = self.net.apply(
-                variables, skips0["f16"], mask_s16, memory.sensory,
+                variables, f16, mask_s16, memory.sensory,
                 method=PropagationNetwork.encode_value,
             )
             key_flat = key.reshape(-1, key.shape[-1])
@@ -326,7 +361,7 @@ class TrackerCore:
 
     def _step_impl(self, variables, memory: MemoryState, image):
         key, skips0, readout, memory = self._encode_and_read(variables, image, memory)
-        prob, sensory = self._decode_and_update(variables, memory, skips0, readout)
+        prob, prob_s16, sensory = self._decode_and_update(variables, memory, skips0, readout)
         memory = memory._replace(sensory=sensory)
         do_write = (memory.frame_idx % self.mem_every == 0) & jnp.any(memory.active)
         # long-term consolidation: before overwriting an occupied ring slot,
@@ -334,7 +369,9 @@ class TrackerCore:
         if self.enable_long_term:
             occupied = memory.valid[memory.write_pos]
             memory = consolidate(memory, self.num_prototypes, do_write & occupied)
-        memory = self._write(variables, memory, key, skips0, prob, do_write)
+        memory = self._write(
+            variables, memory, key, skips0["f16"], prob_s16[1:], do_write
+        )
         memory = memory._replace(frame_idx=memory.frame_idx + 1)
         return prob, memory
 
@@ -342,7 +379,7 @@ class TrackerCore:
         """det_onehot: (No_slots, H, W) float — detection masks stacked into slots
         (slot order arbitrary); det_valid: (No_slots,) bool."""
         key, skips0, readout, memory = self._encode_and_read(variables, image, memory)
-        prob, sensory = self._decode_and_update(variables, memory, skips0, readout)
+        prob, prob_s16, sensory = self._decode_and_update(variables, memory, skips0, readout)
 
         prop_masks = (prob[1:] > 0.5).astype(jnp.float32)  # (No, H, W)
         merged, active, det_to_slot = match_detections(
@@ -353,9 +390,13 @@ class TrackerCore:
         # re-aggregate output prob from merged masks (detections authoritative)
         logits = jnp.log(jnp.clip(merged, 1e-6, 1 - 1e-6) / (1 - jnp.clip(merged, 1e-6, 1 - 1e-6)))
         prob_out = soft_aggregate(logits, active.astype(jnp.float32))
-        # memory write is unconditional on incorporate (new reference frame)
+        # memory write is unconditional on incorporate (new reference frame);
+        # the written mask is the merged DETECTION mask at stride 16
+        fg_s16 = jax.image.resize(
+            prob_out[1:], (self.max_objects, self.h16, self.w16), method="bilinear"
+        )
         memory = self._write(
-            variables, memory, key, skips0, prob_out, jnp.asarray(True)
+            variables, memory, key, skips0["f16"], fg_s16, jnp.asarray(True)
         )
         memory = memory._replace(frame_idx=memory.frame_idx + 1)
         return prob_out, memory, det_to_slot
@@ -371,27 +412,33 @@ class TrackerCore:
         assert B % window == 0, f"batch {B} must be a multiple of window {window}"
         nw = B // window
 
-        # 1×1 skip projections are memory-independent: run them batched over
-        # ALL frames here (full MXU utilization) instead of inside the scan;
-        # raw f4/f8 are then not needed by the scan body (only f16 for writes)
+        # 1×1 skip projections AND the stride-4/8 decode tail are memory-
+        # independent: only readout → head → sensory → write scans; the tail
+        # runs batched over ALL B frames afterwards (full MXU utilization)
         proj = self.net.apply(
             variables, skips, method=PropagationNetwork.project_skips
         )
-        scan_skips = {"f16": skips["f16"], "f4p": proj["f4p"], "f8p": proj["f8p"]}
+        act = memory.active
 
         def wshape(a):
             return a.reshape(nw, window, *a.shape[1:])
 
         def body(memory, inp):
-            keys_w, sk = inp
-            probs, memory = self.propagate_window(variables, memory, keys_w, sk)
-            return memory, jnp.argmax(probs, axis=1).astype(jnp.uint8)
+            keys_w, f16_w = inp
+            memory, hidden, _ = self._propagate_scan_core(
+                variables, memory, keys_w, f16_w
+            )
+            return memory, hidden
 
-        memory, ids_s4 = jax.lax.scan(
-            body, memory,
-            (wshape(keys), {k: wshape(v) for k, v in scan_skips.items()}),
+        memory, hidden = jax.lax.scan(
+            body, memory, (wshape(keys), wshape(skips["f16"]))
         )
-        return memory, ids_s4.reshape(B, *ids_s4.shape[2:])
+        hidden = hidden.reshape(B, *hidden.shape[2:])  # (B, No, H16, W16, C)
+        logits_s4 = self._decode_tail_batch(variables, hidden, proj["f8p"], proj["f4p"])
+        actf = act.astype(logits_s4.dtype)
+        probs = jax.vmap(lambda lg: soft_aggregate(lg, actf))(logits_s4)
+        ids_s4 = jnp.argmax(probs, axis=1).astype(jnp.uint8)
+        return memory, ids_s4
 
     def _window_impl(self, variables, memory: MemoryState, images_w):
         """Encode + propagate a window of frames; returns full-res probs."""
@@ -404,6 +451,59 @@ class TrackerCore:
 
         probs = upsample_bilinear_matmul(probs_s4, h, w)
         return probs, memory
+
+    def _align_impl(self, variables, img_dst, img_src, onehot_src):
+        """Project per-object masks from src-frame coords into dst-frame coords
+        via key-affinity correspondence (the same matching mechanism the memory
+        readout uses; DEVA achieves this alignment by backward propagation).
+
+        img_* (H, W, 3) float[0,1]; onehot_src (No, H, W) {0,1}.
+        Returns per-object probs in dst coords (No, H, W) float.
+        """
+        imgs = jnp.stack([img_dst, img_src])
+        keys, _ = self.net.apply(
+            variables, imgs, method=PropagationNetwork.encode_key
+        )
+        # sharpen the affinity (×4 logit temperature): cross-frame alignment
+        # wants near-argmax correspondence, not the soft blend the trained
+        # readout uses against its multi-frame memory
+        q = keys[0].reshape(-1, keys.shape[-1]) * 4.0    # dst queries (HW, Ck)
+        k = keys[1].reshape(-1, keys.shape[-1])          # src keys
+        m16 = jax.image.resize(
+            onehot_src, (onehot_src.shape[0], self.h16, self.w16), method="bilinear"
+        ).reshape(onehot_src.shape[0], -1, 1)            # (No, HW, 1) as "values"
+        valid = jnp.ones((k.shape[0],), bool)
+        probs = memory_readout_dense(q, k, m16.astype(keys.dtype), valid)
+        probs = probs.reshape(onehot_src.shape[0], self.h16, self.w16)
+        h, w = self.image_size
+        from yolo_puncture_tpu.ops.masks import upsample_bilinear_matmul
+
+        return upsample_bilinear_matmul(probs.astype(jnp.float32), h, w)
+
+    def align_mask_to(self, image_dst, image_src, mask_src: np.ndarray) -> np.ndarray:
+        """Host API: integer id mask in src-frame coords → id mask aligned to
+        dst-frame coords (ids preserved; 0 = background/unmatched)."""
+        img_d = self._prep_image(image_dst)
+        img_s = self._prep_image(image_src)
+        import cv2
+
+        h, w = self.image_size
+        m = np.asarray(mask_src)
+        if m.shape != (h, w):
+            m = cv2.resize(m.astype(np.int32), (w, h), interpolation=cv2.INTER_NEAREST)
+        ids = [i for i in np.unique(m) if i != 0][: self.max_objects]
+        onehot = np.zeros((self.max_objects, h, w), np.float32)
+        for j, i in enumerate(ids):
+            onehot[j] = m == i
+        probs = np.asarray(
+            self._jit_align(self.variables, img_d, img_s, jnp.asarray(onehot))
+        )
+        out = np.zeros((h, w), m.dtype)
+        best = probs.argmax(0)
+        conf = probs.max(0)
+        for j, i in enumerate(ids):
+            out[(best == j) & (conf > 0.4)] = i
+        return out
 
     # ------------------------------------------------------------------
     # host API (reference surface)
@@ -502,6 +602,11 @@ class TrackerCore:
         Objects are anchored to the keyframe ('first'); a keyframe object survives
         if its mask region is detected (IoU>0.5 with some object) in ≥ half the
         buffered frames.  Returns (ti, voted mask, segments_info) like DEVA.
+
+        With ``config['align_voting']`` each buffered detection is first
+        projected into keyframe coordinates via key-affinity correspondence
+        (align_mask_to) — the spatial alignment DEVA gets from backward
+        propagation — so fast-moving objects still accumulate votes.
         """
         assert keyframe_selection == "first"
         assert self.frame_buffer, "empty voting buffer"
@@ -509,9 +614,16 @@ class TrackerCore:
         key_mask = np.asarray(keyframe.mask)
         key_infos = list(keyframe.segments_info or [])
         n_frames = len(self.frame_buffer)
+        align = bool(self.config.get("align_voting", False))
         votes = {j: 1 for j in range(1, len(key_infos) + 1)}
         for fi in self.frame_buffer[1:]:
             m = np.asarray(fi.mask)
+            if align:
+                src_img = fi.image_np if fi.image_np is not None else fi.image
+                key_img = (
+                    keyframe.image_np if keyframe.image_np is not None else keyframe.image
+                )
+                m = self.align_mask_to(key_img, src_img, m)
             if m.shape != key_mask.shape:
                 import cv2
 

@@ -115,11 +115,28 @@ class MaskDecoder(nn.Module):
     dec_dim: int = 64
 
     def setup(self):
-        # declared in setup (not inline) so project_skips can apply them from
-        # outside the propagation scan; attribute names keep the param paths
-        # identical to the original inline name="skip8"/"skip4" modules
+        # declared in setup (not inline) so head/project_skips/decode_tail can
+        # be applied from separate scan stages; attribute names keep the param
+        # paths identical to the original inline name= modules
         self.skip8 = ConvBN(self.dec_dim, 1, 1, dtype=self.dtype)
         self.skip4 = ConvBN(self.dec_dim, 1, 1, dtype=self.dtype)
+        self.in_conv = ConvBN(self.in_dim, 3, 1, dtype=self.dtype)
+        self.dec8 = ConvBN(self.dec_dim, 3, 1, dtype=self.dtype)
+        self.dec4 = ConvBN(self.dec_dim, 3, 1, dtype=self.dtype)
+        self.out = nn.Conv(1, (1, 1), dtype=self.dtype)
+        # stride-16 mask head on the hidden state: the memory WRITE consumes a
+        # stride-16 mask (the old path downsampled the stride-4 decode to get
+        # it), so predicting it here lets the expensive dec8/dec4 tail run
+        # OUTSIDE the sequential propagation scan (XMem deep-update analog)
+        self.out16 = nn.Conv(1, (1, 1), dtype=self.dtype)
+
+    def head(self, readout, sensory, train: bool = False):
+        """(readout, sensory) → (hidden_feat, logits_s16) — the memory-coupled
+        part of the decoder (runs inside propagation scans)."""
+        x = jnp.concatenate([readout, sensory], axis=-1)
+        hidden_feat = self.in_conv(x, train)
+        logits_s16 = self.out16(hidden_feat)[..., 0]
+        return hidden_feat, logits_s16
 
     def project_skips(self, skips, train: bool = False):
         """Batched 1×1 skip projections (memory-independent — hoist out of scans)."""
@@ -128,37 +145,40 @@ class MaskDecoder(nn.Module):
             "f4p": self.skip4(skips["f4"], train),
         }
 
-    @nn.compact
-    def __call__(self, readout, skips, sensory, train: bool = False, full_res: bool = True):
-        # readout: (No, H16, W16, Cv); skips f8 (H8, W8, C), f4 — or, when keys
-        # "f8p"/"f4p" are present, skip features ALREADY projected by
-        # project_skips (hoisted out of the propagation scan: the 1×1 skip convs
-        # are memory-independent, so callers run them batched over all frames)
-        # full_res=False returns stride-4 logits (callers batch the ×4 upsample
-        # outside a scan — cheaper than per-frame full-res work)
-        No = readout.shape[0]
-        x = jnp.concatenate([readout, sensory], axis=-1)
-        x = ConvBN(self.in_dim, 3, 1, dtype=self.dtype, name="in_conv")(x, train)
-        hidden_feat = x  # for sensory update
+    def decode_tail(self, hidden_feat, f8p, f4p, train: bool = False):
+        """hidden_feat (…, No, H16, W16, C) + projected skips → stride-4 logits.
+
+        Memory-independent given hidden_feat — callers batch it over all frames
+        outside the scan.  Leading batch dims beyond No are folded by vmap at
+        the call site; this method handles one frame: (No, H16, W16, C)."""
+        No = hidden_feat.shape[0]
 
         def up(x):
             return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
-        f8 = skips["f8p"] if "f8p" in skips else self.skip8(skips["f8"], train)
-        x = ConvBN(self.dec_dim, 3, 1, dtype=self.dtype, name="dec8")(up(x), train)
-        x = x + jnp.broadcast_to(f8[None], (No, *f8.shape))
-        f4 = skips["f4p"] if "f4p" in skips else self.skip4(skips["f4"], train)
-        x = ConvBN(self.dec_dim, 3, 1, dtype=self.dtype, name="dec4")(up(x), train)
-        x = x + jnp.broadcast_to(f4[None], (No, *f4.shape))
-        logits_s4 = nn.Conv(1, (1, 1), dtype=self.dtype, name="out")(x)  # (No, H4, W4, 1)
+        x = self.dec8(up(hidden_feat), train)
+        x = x + jnp.broadcast_to(f8p[None], (No, *f8p.shape))
+        x = self.dec4(up(x), train)
+        x = x + jnp.broadcast_to(f4p[None], (No, *f4p.shape))
+        return self.out(x)[..., 0]  # (No, H4, W4)
+
+    def __call__(self, readout, skips, sensory, train: bool = False, full_res: bool = True):
+        # readout: (No, H16, W16, Cv); skips f8 (H8, W8, C), f4 — or, when keys
+        # "f8p"/"f4p" are present, skip features ALREADY projected by
+        # project_skips.  full_res=False returns stride-4 logits (callers batch
+        # the ×4 upsample outside a scan).
+        hidden_feat, logits_s16 = self.head(readout, sensory, train)
+        f8p = skips["f8p"] if "f8p" in skips else self.skip8(skips["f8"], train)
+        f4p = skips["f4p"] if "f4p" in skips else self.skip4(skips["f4"], train)
+        logits_s4 = self.decode_tail(hidden_feat, f8p, f4p, train)
         if not full_res:
-            return logits_s4[..., 0], hidden_feat
+            return logits_s4, hidden_feat, logits_s16
         from yolo_puncture_tpu.ops.masks import upsample_bilinear_matmul
 
         logits = upsample_bilinear_matmul(
-            logits_s4[..., 0], logits_s4.shape[1] * 4, logits_s4.shape[2] * 4
+            logits_s4, logits_s4.shape[1] * 4, logits_s4.shape[2] * 4
         )
-        return logits, hidden_feat
+        return logits, hidden_feat, logits_s16
 
 
 class PropagationNetwork(nn.Module):
@@ -198,6 +218,12 @@ class PropagationNetwork(nn.Module):
     def project_skips(self, skips, train: bool = False):
         return self.decoder.project_skips(skips, train)
 
+    def decode_head(self, readout, sensory, train: bool = False):
+        return self.decoder.head(readout, sensory, train)
+
+    def decode_tail(self, hidden_feat, f8p, f4p, train: bool = False):
+        return self.decoder.decode_tail(hidden_feat, f8p, f4p, train)
+
     def __call__(self, image):
         # init-only path: build all params with dummy shapes
         key, skips = self.encode_key(image)
@@ -207,7 +233,7 @@ class PropagationNetwork(nn.Module):
         sens = jnp.zeros((No, H16, W16, SENSORY_DIM), self.dtype)
         value = self.encode_value(skips["f16"][0], mask_s16, sens)
         readout = jnp.zeros((No, H16, W16, self.value_dim), self.dtype)
-        logits, hidden_feat = self.decode(
+        logits, hidden_feat, logits_s16 = self.decode(
             readout, {k: v[0] for k, v in skips.items()}, sens
         )
         new_sens = self.update_sensory(sens, hidden_feat)
