@@ -68,6 +68,7 @@ def main():
                 core = TrackerCore(
                     image_size=(480, 480), max_objects=4, mem_frames=8,
                     mem_every=4, enable_long_term=False, dtype=jnp.bfloat16,
+                    subpix_tail=True,
                 )
                 mem = core.memory._replace(active=core.memory.active.at[0].set(True))
             else:

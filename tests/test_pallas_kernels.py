@@ -67,3 +67,21 @@ def test_memory_readout_pallas_all_invalid():
     got = np.asarray(memory_readout_pallas(q, k, v, valid, interpret=True))
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+def test_memory_readout_pallas_padded_shapes():
+    """Q not a tile multiple and M not a 256-multiple exercise internal padding."""
+    import jax.numpy as jnp
+    from yolo_puncture_tpu.ops.pallas.mem_attention import memory_readout_pallas
+    from yolo_puncture_tpu.track.network import memory_readout_dense
+
+    rng = np.random.default_rng(5)
+    Q, M, Ck, No, Cv = 52, 300, 64, 3, 32
+    q = jnp.asarray(rng.standard_normal((Q, Ck)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((M, Ck)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((No, M, Cv)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=M) > 0.3)
+    got = np.asarray(memory_readout_pallas(q, k, v, valid, interpret=True))
+    want = np.asarray(memory_readout_dense(q, k, v, valid))
+    assert got.shape == (No, Q, Cv)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

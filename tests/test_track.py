@@ -273,3 +273,34 @@ def test_align_mask_to_follows_motion():
     # and the OLD location should not dominate
     old = np.zeros((h, w), bool); old[20:44, 8:28] = True
     assert (got & old).sum() <= inter, "alignment stuck at source location"
+
+
+def test_subpix_tail_matches_exact(tracker):
+    """decode_tail_subpix (low-res parity-packed convs) must reproduce the exact
+    decode_tail within fp tolerance (weights are reassociated, not changed)."""
+    import jax
+    import jax.numpy as jnp
+    from yolo_puncture_tpu.track.network import (
+        PropagationNetwork,
+        decode_tail_subpix,
+    )
+
+    core = tracker
+    V = core.variables
+    rng = np.random.default_rng(3)
+    N, No, C = 2, core.max_objects, 128
+    hidden = jnp.asarray(rng.standard_normal((N, No, core.h16, core.w16, C)), jnp.float32)
+    f8p = jnp.asarray(
+        rng.standard_normal((N, 2 * core.h16, 2 * core.w16, 64)), jnp.float32
+    )
+    f4p = jnp.asarray(
+        rng.standard_normal((N, 4 * core.h16, 4 * core.w16, 64)), jnp.float32
+    )
+
+    def tail(h, f8, f4):
+        return core.net.apply(V, h, f8, f4, method=PropagationNetwork.decode_tail)
+
+    exact = np.asarray(jax.vmap(tail)(hidden, f8p, f4p))
+    sub = np.asarray(decode_tail_subpix(V, hidden, f8p, f4p, dtype=jnp.float32))
+    assert sub.shape == exact.shape
+    np.testing.assert_allclose(sub, exact, rtol=2e-4, atol=2e-4)

@@ -54,7 +54,7 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, out_ref, m_ref, l_ref, acc_ref):
 
     No = v_ref.shape[0]
     pv = jax.lax.dot_general(
-        p, v_ref[:],
+        p.astype(v_ref.dtype), v_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),     # (TQ, TM) × (No, TM, Cv)
         preferred_element_type=jnp.float32,
     )  # → (TQ, No, Cv)
@@ -69,18 +69,48 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, out_ref, m_ref, l_ref, acc_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def memory_readout_pallas(query_key, mem_keys, mem_values, mem_valid, interpret: bool = False):
     """query_key (Q, Ck); mem_keys (M, Ck); mem_values (No, M, Cv);
-    mem_valid (M,) bool → readout (No, Q, Cv)."""
+    mem_valid (M,) bool → readout (No, Q, Cv).
+
+    Tiling: every Q-tile streams the ENTIRE value bank once, so total HBM
+    traffic is ≈ ceil(Q/TQ)·(No·M·Cv) — TQ is chosen as LARGE as the VMEM
+    accumulator (No·TQ·Cv·4 B) allows, not a fixed 128: at the tracker's shapes
+    (Q≈3600, M≈7200, No=4, Cv=128) that is 2 value sweeps (~30 MB) instead of
+    the dense path's (Q, M) fp32 affinity materialization (~100 MB × 2 passes).
+    Inputs stream in their stored dtype (bf16 in the bench pipeline); logits,
+    softmax statistics, and accumulators are fp32 in VMEM.  Q and M are padded
+    internally (padded memory is masked invalid; padded queries are sliced off).
+    """
     Q, Ck = query_key.shape
     M = mem_keys.shape[0]
     No, _, Cv = mem_values.shape
-    # tile sizes bounded by VMEM: double-buffered v block (No·TM·Cv·4 B) dominates
-    TQ = min(128, Q)
-    TM = min(256, M)
-    assert Q % TQ == 0 and M % TM == 0, (Q, M)
+    # accumulator budget ~1.5 MB of the ~16 MB VMEM: acc f32 + double-buffered
+    # out blocks + q + 2×v-blocks must fit ALONGSIDE the full kernel output,
+    # which XLA likes to place in VMEM (S(1)) for the consumer.  TQ divides Q
+    # into even sweeps so padding waste stays minimal; each sweep re-streams the
+    # value bank once (traffic = n_sweeps · No·M·Cv · 2 B — still ≪ the dense
+    # path's (Q, M) fp32 affinity materialization).
+    TQ_max = max(128, min(8 * (3 * 2 ** 19 // (No * Cv * 4) // 8), 2048))
+    if Q <= TQ_max:
+        TQ = -(-Q // 16) * 16
+    else:
+        n_sweeps = -(-Q // TQ_max)
+        TQ = -(-(-(-Q // n_sweeps)) // 16) * 16
+    # large memory tiles: fewer grid steps (each step has fixed Mosaic overhead
+    # that dwarfs the actual matmul at these shapes)
+    TM = 1024 if M >= 1024 else 256
+    Qp = -(-Q // TQ) * TQ
+    Mp = -(-M // TM) * TM
+    if Qp != Q:
+        query_key = jnp.pad(query_key, ((0, Qp - Q), (0, 0)))
+    if Mp != M:
+        mem_keys = jnp.pad(mem_keys, ((0, Mp - M), (0, 0)))
+        mem_values = jnp.pad(mem_values, ((0, 0), (0, Mp - M), (0, 0)))
+        mem_valid = jnp.pad(mem_valid, (0, Mp - M))
+    Qf, Mf = Qp, Mp
 
     out = pl.pallas_call(
         _kernel,
-        grid=(Q // TQ, M // TM),
+        grid=(Qf // TQ, Mf // TM),
         in_specs=[
             pl.BlockSpec((TQ, Ck), lambda qi, mi: (qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, Ck), lambda qi, mi: (mi, 0), memory_space=pltpu.VMEM),
@@ -90,7 +120,7 @@ def memory_readout_pallas(query_key, mem_keys, mem_values, mem_valid, interpret:
         out_specs=pl.BlockSpec(
             (No, TQ, Cv), lambda qi, mi: (0, qi, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((No, Q, Cv), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((No, Qf, Cv), mem_values.dtype),
         scratch_shapes=[
             pltpu.VMEM((TQ, 1), jnp.float32),
             pltpu.VMEM((TQ, 1), jnp.float32),
@@ -98,9 +128,9 @@ def memory_readout_pallas(query_key, mem_keys, mem_values, mem_valid, interpret:
         ],
         interpret=interpret,
     )(
-        query_key.astype(jnp.float32),
-        mem_keys.astype(jnp.float32),
-        mem_values.astype(jnp.float32),
-        mem_valid.astype(jnp.float32).reshape(1, M),
+        query_key,
+        mem_keys,
+        mem_values,
+        mem_valid.astype(jnp.float32).reshape(1, Mf),
     )
-    return out
+    return out[:, :Q] if Qf != Q else out

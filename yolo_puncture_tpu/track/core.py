@@ -132,7 +132,14 @@ class TrackerCore:
         enable_long_term: bool = True,
         dtype=jnp.float32,
         seed: int = 0,
+        subpix_tail: bool = False,
+        flash_readout: bool = False,
     ):
+        self.subpix_tail = bool(subpix_tail)
+        # Pallas flash readout: streams the value bank instead of materializing
+        # the (Q, M) affinity; no attention-usage signal, so it requires the
+        # long-term consolidation path (which consumes usage) to be off.
+        self.flash_readout = bool(flash_readout)
         self.config = config or {}
         self.mem_every = int(self.config.get("mem_every", mem_every))
         self.top_k = int(self.config.get("top_k", top_k))
@@ -149,6 +156,7 @@ class TrackerCore:
         self.image_size = (h, w)
         self.h16, self.w16 = h // 16, w // 16
         self.num_prototypes = min(self.num_prototypes, self.h16 * self.w16)
+        self.dtype = dtype
         self.net = PropagationNetwork(dtype=dtype)
         if variables is None:
             # jit the init: eager tracing dispatches one tiny compile per
@@ -239,10 +247,19 @@ class TrackerCore:
             axis=1,
         )
         mem_valid = jnp.concatenate([jnp.repeat(memory.valid, HW), memory.lt_valid])
-        readout, usage = memory_readout_dense(
-            q, mem_keys, mem_vals, mem_valid, return_usage=True
-        )
-        memory = memory._replace(usage=memory.usage + usage[: T * HW].reshape(T, HW))
+        if self.flash_readout and not self.enable_long_term:
+            from yolo_puncture_tpu.ops.pallas.mem_attention import memory_readout_pallas
+
+            readout = memory_readout_pallas(q, mem_keys, mem_vals, mem_valid).astype(
+                mem_vals.dtype
+            )
+        else:
+            readout, usage = memory_readout_dense(
+                q, mem_keys, mem_vals, mem_valid, return_usage=True
+            )
+            memory = memory._replace(
+                usage=memory.usage + usage[: T * HW].reshape(T, HW)
+            )
         readout = readout.reshape(
             self.max_objects, w, self.h16, self.w16, -1
         ).transpose(1, 0, 2, 3, 4)
@@ -289,7 +306,15 @@ class TrackerCore:
 
     def _decode_tail_batch(self, variables, hidden, f8p, f4p):
         """Batched decode tail: hidden (N, No, H16, W16, C), f8p/f4p (N, …) →
-        stride-4 probs (N, No+1, H4, W4) (memory-independent)."""
+        stride-4 logits (N, No, H4, W4) (memory-independent).
+
+        With ``subpix_tail`` the tail runs as low-resolution parity-packed convs
+        (network.decode_tail_subpix) — same math, ~none of the stride-4
+        per-object HBM traffic."""
+        if self.subpix_tail:
+            from yolo_puncture_tpu.track.network import decode_tail_subpix
+
+            return decode_tail_subpix(variables, hidden, f8p, f4p, dtype=self.dtype)
 
         def tail(h, f8, f4):
             return self.net.apply(

@@ -302,6 +302,97 @@ def memory_readout_dense(query_key, mem_keys, mem_values, mem_valid, return_usag
     return out
 
 
+def _subpix_up_weights(K):
+    """3×3 kernel (3, 3, Cin, Cout) → (3, 3, Cin, 4·Cout): the one-conv form of
+    [nearest-neighbor 2× upsample → 3×3 stride-1 conv, pad 1].
+
+    Output parity (di, dj) of the upsampled conv only ever sees a 2×2
+    neighborhood of the LOW-res input (each 3×3 tap lands on a repeated pixel),
+    so each parity collapses to a 2×2 effective kernel with summed taps; the
+    four parities pack into one 3×3-support conv at LOW resolution producing
+    4·Cout channels, un-packed by depth-to-space.  Exact (up to fp add order).
+    Derivation: output row 2i+di reads up-rows 2i+di+u−1, u∈{0,1,2}; with
+    up-row p ≡ low-row p//2, di=0 hits {i−1, i, i} and di=1 hits {i, i, i+1}."""
+    row0 = jnp.stack([K[0], K[1] + K[2]])                    # di=0 → rows {-1, 0}
+    row1 = jnp.stack([K[0] + K[1], K[2]])                    # di=1 → rows {0, +1}
+
+    def cols(r):
+        c0 = jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1)  # dj=0 → cols {-1, 0}
+        c1 = jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1)  # dj=1 → cols {0, +1}
+        return c0, c1
+
+    Cin, Cout = K.shape[2], K.shape[3]
+    W = jnp.zeros((3, 3, Cin, 4 * Cout), K.dtype)
+    for di, (c0, c1) in enumerate([cols(row0), cols(row1)]):
+        for dj, W2 in enumerate([c0, c1]):
+            r0, cc0 = di, dj                      # di=0 kernels sit on support rows {0,1}
+            g = (di * 2 + dj) * Cout
+            W = W.at[r0 : r0 + 2, cc0 : cc0 + 2, :, g : g + Cout].set(W2)
+    return W
+
+
+def _depth_to_space2(y, Cout: int):
+    """(..., H, W, 4·Cout) parity-grouped → (..., 2H, 2W, Cout)."""
+    *lead, H, W, _ = y.shape
+    y = y.reshape(*lead, H, W, 2, 2, Cout)
+    perm = list(range(len(lead))) + [len(lead), len(lead) + 2, len(lead) + 1,
+                                     len(lead) + 3, len(lead) + 4]
+    return y.transpose(*perm).reshape(*lead, 2 * H, 2 * W, Cout)
+
+
+def decode_tail_subpix(variables, hidden, f8p, f4p, *, dtype=jnp.bfloat16):
+    """Fused low-resolution decode tail: hidden (N, No, H16, W16, Cin) + projected
+    skips f8p (N, H8, W8, C), f4p (N, H4, W4, C) → stride-4 logits (N, No, H4, W4).
+
+    Mathematically equivalent (up to fp reassociation) to MaskDecoder.decode_tail
+    — [up2× → dec8 → +f8p → up2× → dec4 → +f4p → out1×1] — but every conv runs at
+    the LOW resolution via subpixel weight packing (_subpix_up_weights), and the
+    final 1×1 'out' head is applied per parity group at stride 8, with the linear
+    f4p contribution folded in as a per-frame (object-free) 1×1:
+       out(act + f4p) = out(act) + f4p · W_out  (bias counted once).
+    The stride-4 64-channel per-object tensor — the old tail's dominant HBM
+    traffic — is never materialized.  Used by the batched propagation paths;
+    ``MaskDecoder.decode_tail`` remains the numerics reference
+    (tests/test_track.py::test_subpix_tail_matches_exact)."""
+    p = variables["params"]["decoder"]
+    bs = variables["batch_stats"]["decoder"]
+    N, No, H16, W16, Cin = hidden.shape
+    eps = 1e-3
+
+    def bn_affine(name):
+        g = p[name]["bn"]["scale"] / jnp.sqrt(bs[name]["bn"]["var"] + eps)
+        b = p[name]["bn"]["bias"] - bs[name]["bn"]["mean"] * g
+        return g, b
+
+    def stage(x, name, Cout):
+        """x (B, H, W, Cin) → parity-grouped conv + BN + SiLU → (B, H, W, 4, Cout)."""
+        W = _subpix_up_weights(p[name]["conv"]["kernel"]).astype(dtype)
+        y = jax.lax.conv_general_dilated(
+            x, W, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        g, b = bn_affine(name)
+        y = y.reshape(*y.shape[:-1], 4, Cout) * g + b
+        return jax.nn.silu(y).astype(dtype)
+
+    Cd = p["dec8"]["conv"]["kernel"].shape[-1]
+    h = hidden.reshape(N * No, H16, W16, Cin).astype(dtype)
+    y = stage(h, "dec8", Cd)                                   # (N·No, H16, W16, 4, Cd)
+    y = _depth_to_space2(y.reshape(N * No, H16, W16, 4 * Cd), Cd)
+    y = y.reshape(N, No, 2 * H16, 2 * W16, Cd) + f8p[:, None].astype(dtype)
+
+    y = stage(y.reshape(N * No, 2 * H16, 2 * W16, Cd), "dec4", Cd)
+    w_out = p["out"]["kernel"][0, 0, :, 0].astype(dtype)       # (Cd,)
+    o = jnp.einsum("bhwgc,c->bhwg", y, w_out)                  # per-parity 1×1 head
+    o = _depth_to_space2(o[..., None].reshape(N * No, 2 * H16, 2 * W16, 4), 1)
+    o = o.reshape(N, No, 4 * H16, 4 * W16)
+    o_skip = (
+        jnp.einsum("bhwc,c->bhw", f4p.astype(dtype), w_out) + p["out"]["bias"][0]
+    )
+    return (o.astype(jnp.float32) + o_skip[:, None].astype(jnp.float32))
+
+
 def soft_aggregate(logits, active, eps: float = 1e-7):
     """Per-object sigmoid logits (No, H, W) → normalized probs (No+1, H, W) with
     background = Π(1−pᵢ) (standard VOS soft aggregation)."""
