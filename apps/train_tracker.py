@@ -35,18 +35,41 @@ def main(argv=None):
     parser.add_argument("--output", default="resources/weights/tracker_propagation.msgpack")
     parser.add_argument("--init", default=None, help="msgpack weights to resume from")
     parser.add_argument("--eval_clips", type=int, default=16)
+    parser.add_argument(
+        "--shared", action="store_true",
+        help="train the shared-backbone path: PyramidAdapter + decoder against a "
+        "frozen YOLO backbone pyramid (the fused-pipeline configuration; "
+        "track/network.py PyramidAdapter docstring)",
+    )
+    parser.add_argument(
+        "--detector_scale", default="s",
+        help="frozen YOLO backbone scale for --shared (n/s/m/l/x)",
+    )
     args = parser.parse_args(argv)
 
+    pyr_channels = (128, 256, 512)
+    if args.shared:
+        from yolo_puncture_tpu.track.train import pyramid_channels_for
+
+        pyr_channels = pyramid_channels_for("v10", args.detector_scale)
     core = TrackerCore(
         image_size=(args.height, args.width),
         max_objects=args.max_objects,
         mem_frames=4,
         mem_every=1,
         enable_long_term=False,
+        pyramid_adapter=args.shared,
+        pyramid_channels=pyr_channels,
         variables=args.init if args.init and os.path.exists(args.init) else None,
     )
+    pyramid_fn = None
+    if args.shared:
+        from yolo_puncture_tpu.track.train import make_yolo_pyramid_fn
+
+        pyramid_fn, _ = make_yolo_pyramid_fn(scale=args.detector_scale, seed=0)
     trainer = PropagationTrainer(
-        core, lr=args.lr, clip_len=args.clip_len, batch_size=args.batch
+        core, lr=args.lr, clip_len=args.clip_len, batch_size=args.batch,
+        pyramid_fn=pyramid_fn,
     )
     iou0 = trainer.eval_propagation_iou(args.eval_clips)
     print(f"propagation IoU before: {iou0:.3f}")

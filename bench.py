@@ -65,10 +65,11 @@ def main():
             if fused:
                 from yolo_puncture_tpu.track.core import TrackerCore
 
+                shared = os.environ.get("BENCH_SHARED", "1") != "0"
                 core = TrackerCore(
                     image_size=(480, 480), max_objects=4, mem_frames=8,
                     mem_every=4, enable_long_term=False, dtype=jnp.bfloat16,
-                    subpix_tail=True,
+                    subpix_tail=True, pyramid_adapter=shared,
                 )
                 mem = core.memory._replace(active=core.memory.active.at[0].set(True))
             else:
@@ -122,19 +123,29 @@ def main():
                 out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],
                 (imgsz, imgsz), upsample=True, threshold=0.5,
             )
-            # propagation resizes the raw frames directly (measured faster than
-            # resampling the letterboxed tensor 640→480 — XLA handles the
-            # u8 source read once; both stages live in ONE program either way)
-            B = frames_u8.shape[0]
-            timgs = (
-                jax.image.resize(
-                    frames_u8.astype(jnp.bfloat16), (B, th, tw, 3), "bilinear"
+            if core.pyramid_adapter:
+                # shared backbone: the tracker reads the detector's P3/P4/P5
+                # pyramid (already computed for THIS batch) through 1×1
+                # projections + matmul resizes — no second encoder, no second
+                # read of the raw frames (PyramidAdapter docstring)
+                pyr = out["pyramid"]
+                keys, skips = core.encode_pyramid(
+                    trk_vars, pyr["P3"], pyr["P4"], pyr["P5"]
                 )
-                / 255.0
-            )
-            keys, skips = core.net.apply(
-                trk_vars, timgs, method=PropagationNetwork.encode_key
-            )
+            else:
+                # self-contained tracker encoder on a 480² resize of the raw
+                # frames (measured faster than resampling the letterboxed
+                # tensor; both stages live in ONE program either way)
+                B = frames_u8.shape[0]
+                timgs = (
+                    jax.image.resize(
+                        frames_u8.astype(jnp.bfloat16), (B, th, tw, 3), "bilinear"
+                    )
+                    / 255.0
+                )
+                keys, skips = core.net.apply(
+                    trk_vars, timgs, method=PropagationNetwork.encode_key
+                )
             mem, ids_s4 = core.propagate_frames(trk_vars, mem, keys, skips, window=4)
             ids = jnp.repeat(jnp.repeat(ids_s4, 4, axis=1), 4, axis=2)
             boxes = det["boxes"][:, 0]

@@ -33,3 +33,30 @@ def test_synthetic_clip_shapes():
     assert masks.shape == (5, 3, 32, 48)
     assert imgs.min() >= 0 and imgs.max() <= 1
     assert masks[0].sum() > 0  # at least one object
+
+
+@pytest.mark.slow
+def test_shared_backbone_training_loss_drops():
+    """Shared-backbone mode: PyramidAdapter + decoder learn against a frozen
+    YOLO backbone pyramid (the fused-pipeline configuration)."""
+    from yolo_puncture_tpu.track import TrackerCore
+    from yolo_puncture_tpu.track.train import (
+        PropagationTrainer,
+        make_yolo_pyramid_fn,
+        pyramid_channels_for,
+    )
+
+    core = TrackerCore(
+        image_size=(48, 96), max_objects=2, mem_frames=2, mem_every=1,
+        enable_long_term=False, pyramid_adapter=True,
+        pyramid_channels=pyramid_channels_for("v10", "n"),
+    )
+    pyramid_fn, _ = make_yolo_pyramid_fn(scale="n", seed=0)
+    tr = PropagationTrainer(core, lr=1e-3, clip_len=3, batch_size=4,
+                            pyramid_fn=pyramid_fn)
+    losses = []
+    for _ in range(3):
+        losses.append(tr.fit(steps=10, log_every=0))
+    iou = tr.eval_propagation_iou(2)
+    assert losses[-1] < losses[0], f"loss not dropping: {losses}"
+    assert np.isfinite(losses[-1])

@@ -119,8 +119,6 @@ def letterbox(
             _lane_mix_matrix(W, new_w, n, C, bgr_to_rgb, value_scale)
         ).astype(compute)
         bgr_to_rgb = False
-        x = frames.reshape(B, H, W * C).astype(compute)
-        x = x.reshape(B, new_h, n, W * C).sum(axis=2)
         ob = _MIX_OUT_BLOCK
         if (new_w * C) % ob == 0 and C <= ob:
             nb = (new_w * C) // ob
@@ -129,12 +127,22 @@ def letterbox(
             mixb = mix.reshape(nb, ib, nb, ob)[
                 jnp.arange(nb), :, jnp.arange(nb), :
             ]  # (nb, ib, ob)
-            x = jnp.einsum(
-                "bhni,nio->bhno", x.reshape(B, new_h, nb, ib), mixb,
-                preferred_element_type=jnp.float32,
-            ).astype(compute)
-            x = x.reshape(B, new_h, new_w, C)
+            # mix FIRST (the uint8→compute cast fuses into the matmul operand
+            # read — no full-res float intermediate ever hits HBM), then the
+            # H-pooling runs on the n× smaller mixed tensor as slice-adds.
+            # Linear ops commute, so this is the same arithmetic as pool-first.
+            x = frames.reshape(B, H, nb, ib).astype(compute)
+            y = jnp.einsum(
+                "bhni,nio->bhno", x, mixb, preferred_element_type=jnp.float32
+            )
+            y = y.reshape(B, new_h, n, nb, ob)
+            s = y[:, :, 0]
+            for d in range(1, n):
+                s = s + y[:, :, d]
+            x = s.astype(compute).reshape(B, new_h, new_w, C)
         else:
+            x = frames.reshape(B, H, W * C).astype(compute)
+            x = x.reshape(B, new_h, n, W * C).sum(axis=2)
             x = jax.lax.dot_general(
                 x, mix, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
             ).astype(compute)

@@ -134,6 +134,8 @@ class TrackerCore:
         seed: int = 0,
         subpix_tail: bool = False,
         flash_readout: bool = False,
+        pyramid_adapter: bool = False,
+        pyramid_channels=(128, 256, 512),
     ):
         self.subpix_tail = bool(subpix_tail)
         # Pallas flash readout: streams the value bank instead of materializing
@@ -157,7 +159,11 @@ class TrackerCore:
         self.h16, self.w16 = h // 16, w // 16
         self.num_prototypes = min(self.num_prototypes, self.h16 * self.w16)
         self.dtype = dtype
-        self.net = PropagationNetwork(dtype=dtype)
+        self.pyramid_adapter = bool(pyramid_adapter)
+        self.net = PropagationNetwork(
+            dtype=dtype, with_pyramid_adapter=self.pyramid_adapter,
+            pyramid_channels=tuple(pyramid_channels),
+        )
         if variables is None:
             # jit the init: eager tracing dispatches one tiny compile per
             # primitive (minutes on CPU); jitted it's a single compile
@@ -386,6 +392,13 @@ class TrackerCore:
 
     def _step_impl(self, variables, memory: MemoryState, image):
         key, skips0, readout, memory = self._encode_and_read(variables, image, memory)
+        return self._step_from_feats(variables, memory, key, skips0, readout)
+
+    def _step_from_feats(self, variables, memory: MemoryState, key, skips0, readout=None):
+        """Propagate one frame from precomputed features (shared-backbone path:
+        key/skips come from encode_pyramid instead of the built-in encoder)."""
+        if readout is None:
+            readout, memory = self._read(key, memory)
         prob, prob_s16, sensory = self._decode_and_update(variables, memory, skips0, readout)
         memory = memory._replace(sensory=sensory)
         do_write = (memory.frame_idx % self.mem_every == 0) & jnp.any(memory.active)
@@ -404,6 +417,17 @@ class TrackerCore:
         """det_onehot: (No_slots, H, W) float — detection masks stacked into slots
         (slot order arbitrary); det_valid: (No_slots,) bool."""
         key, skips0, readout, memory = self._encode_and_read(variables, image, memory)
+        return self._incorporate_from_feats(
+            variables, memory, key, skips0, det_onehot, det_valid, readout
+        )
+
+    def _incorporate_from_feats(
+        self, variables, memory: MemoryState, key, skips0, det_onehot, det_valid,
+        readout=None,
+    ):
+        """Incorporate detections from precomputed features (shared-backbone path)."""
+        if readout is None:
+            readout, memory = self._read(key, memory)
         prob, prob_s16, sensory = self._decode_and_update(variables, memory, skips0, readout)
 
         prop_masks = (prob[1:] > 0.5).astype(jnp.float32)  # (No, H, W)
@@ -425,6 +449,15 @@ class TrackerCore:
         )
         memory = memory._replace(frame_idx=memory.frame_idx + 1)
         return prob_out, memory, det_to_slot
+
+    def encode_pyramid(self, variables, p3, p4, p5):
+        """Shared-backbone encode: detector pyramid (batched NHWC) → (keys
+        (B, h16, w16, Ck), skips).  Requires ``pyramid_adapter=True``."""
+        assert self.pyramid_adapter, "TrackerCore(pyramid_adapter=True) required"
+        return self.net.apply(
+            variables, p3, p4, p5, (self.h16, self.w16),
+            method=PropagationNetwork.encode_from_pyramid,
+        )
 
     def propagate_frames(self, variables, memory: MemoryState, keys, skips, window: int):
         """Scan ``propagate_window`` over B = nw·window encoded frames.

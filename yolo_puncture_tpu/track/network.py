@@ -50,19 +50,83 @@ class KeyEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     stage3_n: int = 1
 
-    @nn.compact
+    def setup(self):
+        # attribute names == the old inline name= strings → param paths (and
+        # shipped checkpoints) are unchanged by the compact→setup refactor
+        self.stem = ConvBN(128, 3, 1, dtype=self.dtype)
+        self.stage1 = C2f(128, 1, True, dtype=self.dtype)
+        self.down2 = ConvBN(256, 3, 2, dtype=self.dtype)
+        self.stage2 = C2f(256, 1, True, dtype=self.dtype)
+        self.down3 = ConvBN(256, 3, 2, dtype=self.dtype)
+        self.stage3 = C2f(256, self.stage3_n, True, dtype=self.dtype)
+        self.key_proj = ConvBN(KEY_DIM, 1, 1, act=False, dtype=self.dtype)
+
+    def project_key(self, f16, train: bool = False):
+        return self.key_proj(f16, train)
+
     def __call__(self, x, train: bool = False):
         y = space_to_depth(x, 4)                                               # /4, 48ch
-        y = ConvBN(128, 3, 1, dtype=self.dtype, name="stem")(y, train)
-        f4 = C2f(128, 1, True, dtype=self.dtype, name="stage1")(y, train)      # /4
-        y = ConvBN(256, 3, 2, dtype=self.dtype, name="down2")(f4, train)       # /8
-        f8 = C2f(256, 1, True, dtype=self.dtype, name="stage2")(y, train)
-        y = ConvBN(256, 3, 2, dtype=self.dtype, name="down3")(f8, train)       # /16
-        f16 = C2f(256, self.stage3_n, True, dtype=self.dtype, name="stage3")(y, train)
-        key = ConvBN(KEY_DIM, 1, 1, act=False, dtype=self.dtype, name="key_proj")(
-            f16, train
-        )
+        y = self.stem(y, train)
+        f4 = self.stage1(y, train)                                             # /4
+        y = self.down2(f4, train)                                              # /8
+        f8 = self.stage2(y, train)
+        y = self.down3(f8, train)                                              # /16
+        f16 = self.stage3(y, train)
+        key = self.key_proj(f16, train)
         return key, {"f4": f4, "f8": f8, "f16": f16}
+
+
+def resize_bilinear_nhwc(x, H: int, W: int):
+    """(…, h, w, C) → (…, H, W, C) bilinear resize as two matmul contractions
+    (channel lanes stay minor — no gather, MXU-friendly)."""
+    from yolo_puncture_tpu.ops.masks import _interp_matrix
+
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (H, W):
+        return x
+    mh = jnp.asarray(_interp_matrix(h, H)).astype(x.dtype)
+    mw = jnp.asarray(_interp_matrix(w, W)).astype(x.dtype)
+    x = jnp.einsum("...hwc,hH->...Hwc", x, mh, preferred_element_type=jnp.float32)
+    x = jnp.einsum(
+        "...Hwc,wW->...HWc", x.astype(mh.dtype), mw, preferred_element_type=jnp.float32
+    )
+    return x.astype(mh.dtype)
+
+
+class PyramidAdapter(nn.Module):
+    """Detector pyramid {P3, P4, P5} → tracker features {f4, f8, f16} + key.
+
+    TPU-native feature sharing: in the fused streaming pipeline the YOLO
+    backbone already computes a P3/P4/P5 pyramid for every frame, so the
+    tracker's own key encoder (the second-largest compute stage) is replaced by
+    1×1 projections + matmul-bilinear resizes of those features onto the
+    tracker's geometry.  The reference runs DEVA's separate ResNet encoder per
+    frame (SURVEY.md §3.2); sharing the backbone is a deliberate TPU-first
+    redesign (documented in PARITY.md deviations).
+
+    Channels follow the v10s defaults (P3 128, P4 256, P5 512); any detector
+    scale works — the projections read whatever arrives.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.proj4 = ConvBN(128, 1, 1, dtype=self.dtype)
+        self.proj8 = ConvBN(256, 1, 1, dtype=self.dtype)
+        self.proj16a = ConvBN(128, 1, 1, dtype=self.dtype)   # from P4
+        self.proj16b = ConvBN(128, 1, 1, dtype=self.dtype)   # from P5 (context)
+        self.fuse16 = ConvBN(256, 3, 1, dtype=self.dtype)
+
+    def __call__(self, p3, p4, p5, out_hw, train: bool = False):
+        """p3 (B, H8, W8, C3), p4 (B, H16, W16, C4), p5 (B, H32, W32, C5);
+        out_hw = (h16, w16) tracker stride-16 grid → skips dict (B, …)."""
+        h16, w16 = out_hw
+        f4 = resize_bilinear_nhwc(self.proj4(p3, train), 4 * h16, 4 * w16)
+        f8 = resize_bilinear_nhwc(self.proj8(p4, train), 2 * h16, 2 * w16)
+        a = resize_bilinear_nhwc(self.proj16a(p4, train), h16, w16)
+        b = resize_bilinear_nhwc(self.proj16b(p5, train), h16, w16)
+        f16 = self.fuse16(jnp.concatenate([a, b], axis=-1), train)
+        return {"f4": f4, "f8": f8, "f16": f16}
 
 
 class ValueEncoder(nn.Module):
@@ -196,15 +260,28 @@ class PropagationNetwork(nn.Module):
     in_dim: int = 128
     dec_dim: int = 64
     stage3_n: int = 1
+    with_pyramid_adapter: bool = False
+    # dummy pyramid channels used only by the init path (any detector scale
+    # works at apply time — the 1×1 projections read whatever arrives)
+    pyramid_channels: Tuple[int, int, int] = (128, 256, 512)
 
     def setup(self):
         self.key_encoder = KeyEncoder(dtype=self.dtype, stage3_n=self.stage3_n)
         self.value_encoder = ValueEncoder(dtype=self.dtype, value_dim=self.value_dim)
         self.sensory = SensoryUpdater(dtype=self.dtype)
         self.decoder = MaskDecoder(dtype=self.dtype, in_dim=self.in_dim, dec_dim=self.dec_dim)
+        if self.with_pyramid_adapter:
+            self.pyr_adapter = PyramidAdapter(dtype=self.dtype)
 
     def encode_key(self, image, train: bool = False):
         return self.key_encoder(image, train)
+
+    def encode_from_pyramid(self, p3, p4, p5, out_hw, train: bool = False):
+        """Detector pyramid → (key (B, h16, w16, Ck), skips) — the shared-backbone
+        replacement for encode_key (PyramidAdapter docstring)."""
+        skips = self.pyr_adapter(p3, p4, p5, out_hw, train)
+        key = self.key_encoder.project_key(skips["f16"], train)
+        return key, skips
 
     def encode_value(self, f16, mask_s16, sensory, train: bool = False):
         return self.value_encoder(f16, mask_s16, sensory, train)
@@ -228,6 +305,15 @@ class PropagationNetwork(nn.Module):
         # init-only path: build all params with dummy shapes
         key, skips = self.encode_key(image)
         H16, W16 = key.shape[1:3]
+        if self.with_pyramid_adapter:
+            B, h, w = image.shape[0], image.shape[1], image.shape[2]
+            c3, c4, c5 = self.pyramid_channels
+            self.encode_from_pyramid(
+                jnp.zeros((B, h // 8, w // 8, c3), self.dtype),
+                jnp.zeros((B, h // 16, w // 16, c4), self.dtype),
+                jnp.zeros((B, h // 32, w // 32, c5), self.dtype),
+                (H16, W16),
+            )
         No = 2
         mask_s16 = jnp.zeros((No, H16, W16, 1), self.dtype)
         sens = jnp.zeros((No, H16, W16, SENSORY_DIM), self.dtype)

@@ -53,11 +53,16 @@ def make_synthetic_clip(
     return images, masks
 
 
-def build_propagation_loss(core: TrackerCore):
+def build_propagation_loss(core: TrackerCore, pyramid_fn=None):
     """loss(variables, images (T,H,W,3), onehot (T,No,H,W), valid (No,)) → scalar.
 
     Rollout matches inference exactly (same _incorporate/_step programs), so
     training-serving skew is zero.
+
+    With ``pyramid_fn`` (images (T,H,W,3) → frozen detector pyramid dict with
+    P3/P4/P5), the rollout trains the SHARED-BACKBONE path instead: features
+    come from core.encode_pyramid (PyramidAdapter + decoder train; the backbone
+    is stop-gradiented), mirroring the fused streaming pipeline.
     """
 
     def loss_fn(variables, images, onehot, obj_valid):
@@ -65,26 +70,102 @@ def build_propagation_loss(core: TrackerCore):
         mem0 = core.memory  # zeros template (host attr never mutated here)
         obj_valid_b = obj_valid > 0.5
 
-        prob0, memory, _ = core._incorporate_impl(
-            variables, mem0, images[0], onehot[0], obj_valid_b
-        )
+        if pyramid_fn is not None:
+            pyr = jax.lax.stop_gradient(pyramid_fn(images))
+            keys, skips = core.encode_pyramid(
+                variables, pyr["P3"], pyr["P4"], pyr["P5"]
+            )
+            prob0, memory, _ = core._incorporate_from_feats(
+                variables, mem0, keys[0], {k: v[0] for k, v in skips.items()},
+                onehot[0], obj_valid_b,
+            )
+        else:
+            prob0, memory, _ = core._incorporate_impl(
+                variables, mem0, images[0], onehot[0], obj_valid_b
+            )
 
-        def step(carry, inp):
-            memory, total = carry
-            img, m_t = inp
-            prob, memory = core._step_impl(variables, memory, img)
-            # per-pixel CE against the gt id map (bg = 1 - any object)
+        def ce_of(prob, m_t):
             gt_fg = m_t * obj_valid[:, None, None]
             gt_bg = jnp.clip(1.0 - gt_fg.sum(0, keepdims=True), 0.0, 1.0)
             gt = jnp.concatenate([gt_bg, gt_fg], axis=0)  # (No+1, H, W)
             gt = gt / jnp.maximum(gt.sum(0, keepdims=True), 1e-6)
-            ce = -(gt * jnp.log(jnp.clip(prob, 1e-6, 1.0))).sum(0).mean()
-            return (memory, total + ce), ce
+            return -(gt * jnp.log(jnp.clip(prob, 1e-6, 1.0))).sum(0).mean()
 
-        (memory, total), _ = jax.lax.scan(step, (memory, 0.0), (images[1:], onehot[1:]))
+        if pyramid_fn is not None:
+
+            def step(carry, inp):
+                memory, total = carry
+                key_t, sk_t, m_t = inp
+                prob, memory = core._step_from_feats(variables, memory, key_t, sk_t)
+                ce = ce_of(prob, m_t)
+                return (memory, total + ce), ce
+
+            (memory, total), _ = jax.lax.scan(
+                step, (memory, 0.0),
+                (keys[1:], {k: v[1:] for k, v in skips.items()}, onehot[1:]),
+            )
+        else:
+
+            def step(carry, inp):
+                memory, total = carry
+                img, m_t = inp
+                prob, memory = core._step_impl(variables, memory, img)
+                ce = ce_of(prob, m_t)
+                return (memory, total + ce), ce
+
+            (memory, total), _ = jax.lax.scan(
+                step, (memory, 0.0), (images[1:], onehot[1:])
+            )
         return total / (T - 1)
 
     return loss_fn
+
+
+def pyramid_channels_for(version: str = "v10", scale: str = "s"):
+    """(C3, C4, C5) channel widths of the detector's P3/P4/P5 pyramid for a
+    given scale — what ``TrackerCore(pyramid_channels=...)`` must init with so
+    the PyramidAdapter's 1×1 projections match the backbone that feeds them."""
+    from yolo_puncture_tpu.models.yolo import SCALES, make_divisible
+
+    _, width, max_ch = SCALES[version][scale]
+    return tuple(make_divisible(min(c, max_ch) * width, 8) for c in (256, 512, 1024))
+
+
+def make_yolo_pyramid_fn(
+    version: str = "v10",
+    scale: str = "s",
+    seed: int = 0,
+    dtype=jnp.float32,
+    ratio: float = 4.0 / 3.0,
+    variables=None,
+):
+    """Frozen YOLO backbone as a pyramid source for shared-backbone training.
+
+    Mirrors the fused bench: the detector sees the letterboxed frame at
+    ``ratio``× the tracker geometry (640² detector / 480² tracker → 4/3).
+    Returns (pyramid_fn images (T,h,w,3) → {P3,P4,P5}, backbone_variables).
+    """
+    from yolo_puncture_tpu.models.yolo import YOLOModel
+
+    model = YOLOModel(version=version, scale=scale, nc=1, task="segment", dtype=dtype)
+
+    def pyramid_fn_factory(bvars):
+        def pyramid_fn(images):
+            T, h, w = images.shape[0], images.shape[1], images.shape[2]
+            hb = int(round(h * ratio / 32)) * 32
+            wb = int(round(w * ratio / 32)) * 32
+            imgs = jax.image.resize(
+                images.astype(dtype), (T, hb, wb, 3), "bilinear"
+            )
+            return model.apply(bvars, imgs)["pyramid"]
+
+        return pyramid_fn
+
+    if variables is None:
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+    return pyramid_fn_factory(variables), variables
 
 
 class PropagationTrainer:
@@ -95,13 +176,15 @@ class PropagationTrainer:
         clip_len: int = 4,
         batch_size: int = 1,
         seed: int = 0,
+        pyramid_fn=None,
     ):
         self.core = core
         self.clip_len = clip_len
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+        self.pyramid_fn = pyramid_fn
         self.tx = optax.adam(lr)
-        loss_fn = build_propagation_loss(core)
+        loss_fn = build_propagation_loss(core, pyramid_fn=pyramid_fn)
 
         def batched_loss(variables, images, onehot, obj_valid):
             # vmap over the clip batch — fills the MXU (a single clip is tiny)
@@ -157,19 +240,47 @@ class PropagationTrainer:
         """Mean IoU of propagated masks vs ground truth on fresh clips."""
         h, w = self.core.image_size
         No = self.core.max_objects
+        if self.pyramid_fn is not None and not hasattr(self, "_jit_eval_feats"):
+            pyramid_fn = self.pyramid_fn
+
+            @jax.jit
+            def encode_clip(variables, images):
+                pyr = pyramid_fn(images)
+                return self.core.encode_pyramid(variables, pyr["P3"], pyr["P4"], pyr["P5"])
+
+            self._jit_eval_feats = (
+                encode_clip,
+                jax.jit(self.core._incorporate_from_feats),
+                jax.jit(self.core._step_from_feats),
+            )
         ious = []
         for _ in range(n_clips):
             images, masks = make_synthetic_clip(self.rng, self.clip_len, h, w, No)
             obj_valid = (masks.sum((0, 2, 3)) > 0)
             mem = self.core.memory
-            prob, mem, _ = self.core._jit_incorporate(
-                self.core.variables, mem, jnp.asarray(images[0]),
-                jnp.asarray(masks[0]), jnp.asarray(obj_valid),
-            )
-            for t in range(1, self.clip_len):
-                prob, mem = self.core._jit_step(
-                    self.core.variables, mem, jnp.asarray(images[t])
+            if self.pyramid_fn is not None:
+                encode_clip, inc_f, step_f = self._jit_eval_feats
+                keys, skips = encode_clip(self.core.variables, jnp.asarray(images))
+                prob, mem, _ = inc_f(
+                    self.core.variables, mem, keys[0],
+                    {k: v[0] for k, v in skips.items()},
+                    jnp.asarray(masks[0]), jnp.asarray(obj_valid),
                 )
+            else:
+                prob, mem, _ = self.core._jit_incorporate(
+                    self.core.variables, mem, jnp.asarray(images[0]),
+                    jnp.asarray(masks[0]), jnp.asarray(obj_valid),
+                )
+            for t in range(1, self.clip_len):
+                if self.pyramid_fn is not None:
+                    prob, mem = step_f(
+                        self.core.variables, mem, keys[t],
+                        {k: v[t] for k, v in skips.items()},
+                    )
+                else:
+                    prob, mem = self.core._jit_step(
+                        self.core.variables, mem, jnp.asarray(images[t])
+                    )
                 pred = np.asarray(jnp.argmax(prob, 0))
                 for o in range(No):
                     if not obj_valid[o]:
