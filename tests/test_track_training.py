@@ -35,6 +35,30 @@ def test_synthetic_clip_shapes():
     assert masks[0].sum() > 0  # at least one object
 
 
+@pytest.mark.parametrize("scale", ["n", "s"])
+def test_pyramid_channels_match_backbone(scale):
+    """pyramid_channels_for must report the channels the real backbone emits —
+    the PyramidAdapter's projections are initialized from it (the CLI passes it
+    to TrackerCore for any --detector_scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_puncture_tpu.models.yolo import YOLOModel
+    from yolo_puncture_tpu.track.train import pyramid_channels_for
+
+    model = YOLOModel(version="v10", scale=scale, nc=1, task="segment")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    out = jax.eval_shape(
+        lambda v, x: model.apply(v, x),
+        variables, jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32),
+    )
+    pyr = out["pyramid"]
+    got = (pyr["P3"].shape[-1], pyr["P4"].shape[-1], pyr["P5"].shape[-1])
+    assert got == pyramid_channels_for("v10", scale)
+
+
 @pytest.mark.slow
 def test_shared_backbone_training_loss_drops():
     """Shared-backbone mode: PyramidAdapter + decoder learn against a frozen
