@@ -89,6 +89,30 @@ def test_annotation_tools(tmp_path):
     assert tag_images(str(tmp_path / "frames"), str(tmp_path / "tagged")) == 1
 
 
+def test_labeler_select_and_save(tmp_path):
+    """Headless core of the click labeler: nearest-center pick + label layout
+    (plot_frame_masks.py:50-66,113-121)."""
+    from tools.annotation import save_selected_annotation, select_mask_by_point
+
+    anns = [
+        {"bbox": (0, 0, 10, 10), "segmentation": [0.1, 0.1, 0.2, 0.1, 0.2, 0.2]},
+        {"bbox": (40, 40, 10, 10), "segmentation": [0.7, 0.7, 0.8, 0.7, 0.8, 0.8]},
+    ]
+    assert select_mask_by_point(anns, (3, 4)) == 0
+    assert select_mask_by_point(anns, (46, 44)) == 1
+    assert select_mask_by_point([], (0, 0)) == -1
+
+    img = np.zeros((48, 64, 3), np.uint8)
+    idx = select_mask_by_point(anns, (46, 44))
+    label_path = save_selected_annotation(
+        img, anns[idx]["segmentation"], video_num=7, frame_num=12, out_root=str(tmp_path)
+    )
+    assert label_path.endswith("labels/7frame_12.txt")
+    assert (tmp_path / "images" / "7frame_12.jpg").exists()
+    vals = (tmp_path / "labels" / "7frame_12.txt").read_text().split()
+    assert vals[0] == "0" and [float(v) for v in vals[1:]] == anns[idx]["segmentation"]
+
+
 def test_dataset_gen(tmp_path):
     import cv2
 

@@ -4,8 +4,11 @@ Ports of dev_tools/frame_masking/get_annotations.py (SAM automatic-mask
 pre-annotation filtered by the elongated-needle heuristics → pickle),
 dev_tools/segmentation/convert_polygon2png.py (YOLO polygon labels → binary PNG
 masks), and the non-interactive core of check_mask.py (overlay render).  The
-click-driven selection UIs (plot_frame_masks.py) need a display and are not
-reproduced; ``filter_masks`` ranking makes the selection automatic instead.
+click-driven labeler (plot_frame_masks.py) is split: its selection/save core is
+headless here (``select_mask_by_point`` nearest-center pick per the mouse
+callback at plot_frame_masks.py:50-66, ``save_selected_annotation`` per the
+save block at :113-121); the cv2 window loop needs a display and is not
+reproduced — ``filter_masks`` ranking makes selection automatic instead.
 """
 
 from __future__ import annotations
@@ -94,6 +97,49 @@ def render_label_overlay(image: np.ndarray, label_path: str, color=(0, 255, 0)):
                     np.uint8
                 )
     return out
+
+
+def select_mask_by_point(anns: List[dict], point) -> int:
+    """Index of the annotation whose bbox center is nearest to ``point``.
+
+    Headless core of the labeler's mouse callback (plot_frame_masks.py:50-66):
+    the click selects the candidate mask with the minimum Euclidean distance
+    from the click to the bbox center; ``anns`` entries carry ``bbox`` (xywh).
+    """
+    best, best_d = -1, float("inf")
+    for idx, ann in enumerate(anns):
+        x, y, w, h = ann["bbox"]
+        d = (point[0] - (x + w / 2.0)) ** 2 + (point[1] - (y + h / 2.0)) ** 2
+        if d < best_d:
+            best, best_d = idx, d
+    return best
+
+
+def save_selected_annotation(
+    image: np.ndarray,
+    segmentation,
+    video_num: int,
+    frame_num: int,
+    out_root: str,
+    class_id: int = 0,
+) -> str:
+    """Persist one selected mask in the labeler's output layout
+    (plot_frame_masks.py:113-121): ``images/{video}frame_{i}.jpg`` plus
+    ``labels/{video}frame_{i}.txt`` holding ``{class_id} x1 y1 x2 y2 ...``
+    (normalized polygon coords, the format `polygons_to_png`/the YOLO dataset
+    consume).  Returns the label path.
+    """
+    import cv2
+
+    os.makedirs(os.path.join(out_root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(out_root, "labels"), exist_ok=True)
+    stem = f"{video_num}frame_{frame_num}"
+    cv2.imwrite(os.path.join(out_root, "images", stem + ".jpg"), image)
+    label_path = os.path.join(out_root, "labels", stem + ".txt")
+    vals = [class_id] + [float(v) for v in np.asarray(segmentation).reshape(-1)]
+    with open(label_path, "w") as f:
+        f.write(" ".join(map(str, vals)))
+    return label_path
 
 
 def tag_images(frames_dir: str, output_dir: str, text_fn=None):
