@@ -262,6 +262,7 @@ def main(argv=None):
         "min_mid_term_frames": args.min_mid_term_frames,
         "num_prototypes": args.num_prototypes,
         "max_long_term_elements": args.max_long_term_elements,
+        "max_missed_detection_count": args.max_missed_detection_count,
         "align_voting": args.align_voting,
         "video_name": args.video_name,
         "det_imgsz": args.imgsz,

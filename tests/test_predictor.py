@@ -61,6 +61,35 @@ def test_predict_pil_and_plot(tiny_predictor):
     assert annotated.shape == (80, 80, 3)
 
 
+def test_normalized_float_source_matches_uint8(tiny_predictor):
+    """frame.astype(float)/255 — a common normalized usage — must not truncate
+    to an all-black image (bare astype(uint8) would)."""
+    frame = np.random.default_rng(3).integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    r_u8 = tiny_predictor.predict(source=frame, conf=0.01, imgsz=64)[0]
+    r_f = tiny_predictor.predict(
+        source=frame.astype(np.float32) / 255.0, conf=0.01, imgsz=64
+    )[0]
+    np.testing.assert_allclose(r_f.boxes.xyxy, r_u8.boxes.xyxy, atol=1e-5)
+    np.testing.assert_allclose(r_f.boxes.conf, r_u8.boxes.conf, atol=1e-6)
+
+
+def test_one_mask_per_box_beyond_max_masks():
+    """Boxes and masks stay 1:1 even past max_masks (overflow chunk decode)."""
+    model = YOLO("yolov8n-seg", nc=1, max_det=12, max_masks=3)
+    frame = np.random.default_rng(1).integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    r = model.predict(source=frame, conf=0.0, imgsz=64, iou=1.0)[0]
+    n = len(r.boxes)
+    assert n > model.max_masks  # conf=0, iou=1 keeps many detections
+    assert r.masks is not None and len(r.masks.data) == n
+    # overflow-decoded masks use the same decode path: re-run with max_masks
+    # large enough to cover everything in the main program and compare
+    ref = YOLO("yolov8n-seg", nc=1, max_det=12, max_masks=12)
+    ref.variables = model.variables
+    r2 = ref.predict(source=frame, conf=0.0, imgsz=64, iou=1.0)[0]
+    assert len(r2.boxes) == n
+    np.testing.assert_array_equal(r.masks.data, r2.masks.data[:n])
+
+
 def test_compiled_cache_reuse(tiny_predictor):
     frame = np.zeros((64, 64, 3), np.uint8)
     tiny_predictor.predict(source=frame, conf=0.5, imgsz=64)

@@ -102,6 +102,66 @@ def test_incorporate_new_object_allocates_slot(tracker):
     assert 55 in [o.id for o in tracker.object_manager.slot_to_info.values()]
 
 
+def test_object_deletion_after_missed_detections():
+    """DEVA max_missed_detection_count: an object unmatched by detections for N
+    consecutive incorporate calls frees its slot and purges its memory."""
+    t = TrackerCore(
+        image_size=(64, 96), max_objects=2, mem_frames=4, mem_every=2,
+        config={"max_missed_detection_count": 2},
+    )
+    t.incorporate_detection(_frame(0), _disk_mask(), [ObjectInfo(id=1)])
+    assert 0 in t.object_manager.slot_to_info
+    # two detector passes that find nothing → 2 consecutive misses → deletion
+    empty = np.zeros((64, 96), np.int32)
+    t.incorporate_detection(_frame(1), empty, [])
+    t.incorporate_detection(_frame(2), empty, [])
+    assert t.object_manager.slot_to_info == {}
+    assert not np.asarray(t.memory.active).any()
+    # the released slot's memory is purged (no stale readout on slot reuse)
+    assert np.asarray(t.memory.values)[0].sum() == 0
+    assert np.asarray(t.memory.sensory)[0].sum() == 0
+    # the freed slot is reusable by a new object
+    t.incorporate_detection(_frame(3), _disk_mask(), [ObjectInfo(id=9)])
+    assert 9 in [o.id for o in t.object_manager.slot_to_info.values()]
+
+
+def test_long_term_bank_capacity_validated():
+    with pytest.raises(ValueError):
+        TrackerCore(
+            image_size=(64, 96), max_objects=2, mem_frames=4,
+            config={"num_prototypes": 24, "max_long_term_elements": 16},
+        )
+
+
+def test_step_batch_empty_shape(tracker):
+    out = tracker.step_batch([])
+    assert out.shape == (0, 5, 64, 96)
+
+
+def test_reference_tracker_geometry():
+    """DEVA min-side-480 aspect-preserving geometry, /16-padded (the bench
+    tracker stage must do the reference's work, not a smaller square's)."""
+    from yolo_puncture_tpu.track import reference_tracker_geometry
+
+    assert reference_tracker_geometry((720, 1280)) == (480, 864)
+    assert reference_tracker_geometry((1280, 720)) == (864, 480)
+    assert reference_tracker_geometry((480, 480)) == (480, 480)
+    assert reference_tracker_geometry((1080, 1920)) == (480, 864)
+
+
+def test_resize_src_window_equals_crop_then_resize():
+    """content_box sampling == explicit crop + resize when the window lands on
+    pixel boundaries (the fused crop is exact, not approximate)."""
+    import jax.numpy as jnp
+    from yolo_puncture_tpu.track.network import resize_bilinear_nhwc
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 24, 3)).astype(np.float32))
+    win = ((0.25, 0.75), (0.0, 1.0))  # rows [4, 12) of 16
+    got = resize_bilinear_nhwc(x, 8, 12, win)
+    want = resize_bilinear_nhwc(x[:, 4:12], 8, 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_voting_buffer():
     t = TrackerCore(image_size=(64, 96), max_objects=4, mem_frames=4)
     m1 = _disk_mask()

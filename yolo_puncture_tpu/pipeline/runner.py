@@ -28,7 +28,7 @@ from yolo_puncture_tpu.analytics.keyframe import find_insert_start, fix_class_pr
 from yolo_puncture_tpu.analytics.speed import SpeedResult, insertion_state_machine
 from yolo_puncture_tpu.models.efficientnet import preprocess_classifier
 from yolo_puncture_tpu.ops.geometry import mask_to_polygons, min_rect_len
-from yolo_puncture_tpu.ops.letterbox import letterbox
+from yolo_puncture_tpu.ops.letterbox import letterbox, scale_boxes
 from yolo_puncture_tpu.ops.masks import decode_masks
 from yolo_puncture_tpu.ops.nms import select_detections
 from yolo_puncture_tpu.ops.signal import gaussian_smoothing
@@ -99,10 +99,7 @@ class VideoSpeedPipeline:
             best_valid = det["valid"][:, 0]
             best_box_lb = det["boxes"][:, 0]          # letterboxed coords
             best_conf = det["scores"][:, 0]
-            left, top = pad
-            shift = jnp.array([left, top, left, top], jnp.float32)
-            lim = jnp.array([w0, h0, w0, h0], jnp.float32)
-            best_box = jnp.clip((best_box_lb - shift) / r, 0, lim)
+            best_box = scale_boxes(best_box_lb, r, pad, (h0, w0))
 
             masks = None
             if "coeffs" in det:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolo_puncture_tpu.models.yolo import YOLOModel
-from yolo_puncture_tpu.ops.letterbox import letterbox, letterbox_params
+from yolo_puncture_tpu.ops.letterbox import letterbox, letterbox_params, scale_boxes
 from yolo_puncture_tpu.ops.masks import decode_masks, paste_masks_to_original
 from yolo_puncture_tpu.ops.nms import select_detections
 from yolo_puncture_tpu.predict.results import Boxes, Masks, Results
@@ -108,12 +108,15 @@ class YOLO:
         model = self.model
         max_det, max_masks = self.max_det, self.max_masks
         task = self.task
+        # static letterbox geometry for this (h0, w0, imgsz) — identical to the
+        # values letterbox() derives inside `run`; shared with _paste/overflow
+        r, _, pad = letterbox_params(h0, w0, imgsz)
 
         @jax.jit
         def run(variables, frames_u8, conf, iou):
             # BGR (cv2 convention, reference passes cv2 frames) → RGB on device,
             # folded into letterbox after the downscale (≈4× less traffic)
-            imgs, r, pad = letterbox(frames_u8, imgsz, dtype=model.dtype, bgr_to_rgb=True)
+            imgs, _r, _pad = letterbox(frames_u8, imgsz, dtype=model.dtype, bgr_to_rgb=True)
             out = model.apply(variables, imgs)
             det = select_detections(
                 out, nms_free=nms_free, conf_thres=conf, iou_thres=iou, max_det=max_det
@@ -126,10 +129,7 @@ class YOLO:
                 "valid": det["valid"],
             }
             # rescale boxes to original frame coords on device
-            left, top = pad
-            shift = jnp.array([left, top, left, top], jnp.float32)
-            lim = jnp.array([w0, h0, w0, h0], jnp.float32)
-            result["boxes"] = jnp.clip((det["boxes"] - shift) / r, 0, lim) * det[
+            result["boxes"] = scale_boxes(det["boxes"], r, pad, (h0, w0)) * det[
                 "valid"
             ][..., None]
             if task == "segment":
@@ -139,17 +139,46 @@ class YOLO:
                     out["proto"], coeffs, mboxes, (imgsz, imgsz),
                     upsample=retina, threshold=None,
                 )
-                if retina:
-                    masks = paste_masks_to_original(masks_lb, r, pad, (h0, w0))
-                else:
-                    # masks are at proto (stride-4) resolution → pad/ratio scale by 4
-                    pad4 = (round(pad[0] / 4), round(pad[1] / 4))
-                    masks = paste_masks_to_original(masks_lb, r / 4, pad4, (h0, w0))
-                result["masks"] = (masks > 0.5).astype(jnp.uint8)
+                result["masks"] = _paste(masks_lb)
+                # kept ON DEVICE (not fetched) for the rare >max_masks overflow
+                result["proto"] = out["proto"]
+                result["coeffs"] = det["coeffs"]
             return result
 
-        self._compiled[key] = run
-        return run
+        def _paste(masks_lb):
+            if retina:
+                return ((paste_masks_to_original(masks_lb, r, pad, (h0, w0))) > 0.5).astype(jnp.uint8)
+            # masks are at proto (stride-4) resolution → pad/ratio scale by 4
+            pad4 = (round(pad[0] / 4), round(pad[1] / 4))
+            return (
+                paste_masks_to_original(masks_lb, r / 4, pad4, (h0, w0)) > 0.5
+            ).astype(jnp.uint8)
+
+        overflow = None
+        if task == "segment":
+
+            @jax.jit
+            def overflow(proto_b, coeffs_all, boxes_all, start):
+                """Decode max_masks instances starting at ``start`` for ONE frame.
+
+                Frames with more than max_masks detections (rare in this domain)
+                decode the tail in fixed-size chunks through this second program;
+                inputs stay device-resident from ``run`` so nothing re-uploads.
+                Padding by a full chunk keeps dynamic_slice clamp-free (a clamped
+                start would silently misalign mask↔box pairing near max_det).
+                """
+                cpad = jnp.pad(coeffs_all, ((0, max_masks), (0, 0)))
+                bpad = jnp.pad(boxes_all, ((0, max_masks), (0, 0)))
+                cc = jax.lax.dynamic_slice_in_dim(cpad, start, max_masks)
+                bb = jax.lax.dynamic_slice_in_dim(bpad, start, max_masks)
+                masks_lb = decode_masks(
+                    proto_b[None], cc[None], bb[None], (imgsz, imgsz),
+                    upsample=retina, threshold=None,
+                )
+                return _paste(masks_lb)[0]
+
+        self._compiled[key] = (run, overflow)
+        return self._compiled[key]
 
     # -- source normalization ----------------------------------------------
 
@@ -170,13 +199,23 @@ class YOLO:
             arr = np.asarray(s)
             if arr.ndim == 2:
                 arr = np.stack([arr] * 3, axis=-1)
-            return arr.astype(np.uint8), ""
+            return _to_u8(arr), ""
+
+        def _to_u8(arr):
+            if arr.dtype == np.uint8:
+                return arr
+            a = arr.astype(np.float32)
+            # normalized-float frames (the common frame/255. usage) would
+            # truncate to all-zero under a bare astype(uint8)
+            if np.issubdtype(arr.dtype, np.floating) and (a.size == 0 or a.max() <= 1.0):
+                a = a * 255.0
+            return np.clip(np.rint(a), 0, 255).astype(np.uint8)
 
         if isinstance(source, (list, tuple)):
             frames, paths = zip(*[one(s) for s in source])
             return list(frames), list(paths)
         if isinstance(source, np.ndarray) and source.ndim == 4:
-            return list(source.astype(np.uint8)), [""] * len(source)
+            return list(_to_u8(source)), [""] * len(source)
         f, p = one(source)
         return [f], [p]
 
@@ -213,14 +252,18 @@ class YOLO:
 
     def _predict_batch(self, batch, paths, conf, iou, imgsz, retina):
         B, h0, w0, _ = batch.shape
-        run = self._pipeline((h0, w0), imgsz, retina)
-        out = run(
+        run, overflow = self._pipeline((h0, w0), imgsz, retina)
+        dev = run(
             self.variables,
             jnp.asarray(batch),
             jnp.float32(conf),
             jnp.float32(iou),
         )
-        out = jax.device_get(out)
+        # proto/coeffs/boxes_lb stay device-resident — fetched only if a frame
+        # exceeds max_masks detections (overflow mask decode)
+        out = jax.device_get(
+            {k: v for k, v in dev.items() if k not in ("proto", "coeffs", "boxes_lb")}
+        )
         results = []
         for b in range(B):
             n = int(out["count"][b])
@@ -229,8 +272,18 @@ class YOLO:
             )
             masks = None
             if "masks" in out:
-                nm = min(n, self.max_masks)
-                masks = Masks(out["masks"][b][:nm], (h0, w0))
+                mask_parts = [out["masks"][b][: min(n, self.max_masks)]]
+                start = self.max_masks
+                while start < n:  # rare: one box per mask beyond max_masks
+                    chunk = np.asarray(
+                        overflow(
+                            dev["proto"][b], dev["coeffs"][b], dev["boxes_lb"][b],
+                            jnp.int32(start),
+                        )
+                    )
+                    mask_parts.append(chunk[: n - start])
+                    start += self.max_masks
+                masks = Masks(np.concatenate(mask_parts, axis=0), (h0, w0))
             results.append(
                 Results(batch[b], boxes, masks, names=self.names, path=paths[b])
             )

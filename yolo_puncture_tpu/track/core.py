@@ -112,6 +112,10 @@ class ObjectManager:
         self.slot_to_info[slot] = info
         return info
 
+    def release(self, slot: int) -> None:
+        """Free a slot (object deleted after repeated missed detections)."""
+        self.slot_to_info.pop(slot, None)
+
     @property
     def all_obj_ids(self):
         return [o.id for o in self.slot_to_info.values()]
@@ -158,6 +162,14 @@ class TrackerCore:
         self.image_size = (h, w)
         self.h16, self.w16 = h // 16, w // 16
         self.num_prototypes = min(self.num_prototypes, self.h16 * self.w16)
+        if self.enable_long_term and lt_capacity < self.num_prototypes:
+            # consolidate() FIFO-writes num_prototypes entries per eviction; a
+            # bank smaller than one write would scatter duplicate slots
+            # (silent corruption) — reject the config instead.
+            raise ValueError(
+                f"max_long_term_elements ({lt_capacity}) must be >= "
+                f"num_prototypes ({self.num_prototypes})"
+            )
         self.dtype = dtype
         self.pyramid_adapter = bool(pyramid_adapter)
         self.net = PropagationNetwork(
@@ -187,6 +199,11 @@ class TrackerCore:
             num_prototypes=lt_capacity, value_dim=self.net.value_dim,
         )
         self.object_manager = ObjectManager(max_objects)
+        # object deletion after consecutive missed detections (DEVA
+        # max_missed_detection_count semantics): counts kept host-side so no
+        # device fetch is needed per incorporate
+        self.max_missed = int(self.config.get("max_missed_detection_count", 10))
+        self._missed: Dict[int, int] = {}
 
         # semionline voting state (reference surface)
         self.frame_buffer: List[FrameInfo] = []
@@ -450,13 +467,19 @@ class TrackerCore:
         memory = memory._replace(frame_idx=memory.frame_idx + 1)
         return prob_out, memory, det_to_slot
 
-    def encode_pyramid(self, variables, p3, p4, p5):
+    def encode_pyramid(self, variables, p3, p4, p5, content_box=None):
         """Shared-backbone encode: detector pyramid (batched NHWC) → (keys
-        (B, h16, w16, Ck), skips).  Requires ``pyramid_adapter=True``."""
+        (B, h16, w16, Ck), skips).  Requires ``pyramid_adapter=True``.
+
+        ``content_box`` (fractions of the pyramid extent) restricts sampling to
+        the letterbox content region — pass the letterbox geometry so a
+        rectangular tracker grid reads undistorted content (PyramidAdapter
+        docstring)."""
         assert self.pyramid_adapter, "TrackerCore(pyramid_adapter=True) required"
         return self.net.apply(
             variables, p3, p4, p5, (self.h16, self.w16),
             method=PropagationNetwork.encode_from_pyramid,
+            content_box=content_box,
         )
 
     def propagate_frames(self, variables, memory: MemoryState, keys, skips, window: int):
@@ -604,7 +627,8 @@ class TrackerCore:
         """
         T = len(images)
         if T == 0:
-            return np.zeros((0,), np.float32)
+            h, w = self.image_size
+            return np.zeros((0, self.max_objects + 1, h, w), np.float32)
         w = max(1, self.mem_every)
         prepped = [self._prep_image(im) for im in images]
         pad = (-T) % w
@@ -644,7 +668,31 @@ class TrackerCore:
             slot = int(det_to_slot[j])
             if slot >= 0 and slot not in self.object_manager.slot_to_info:
                 self.object_manager.allocate(slot, info)
+        # object deletion (DEVA max_missed_detection_count): a tracked object
+        # unmatched by detections for max_missed consecutive incorporate calls
+        # frees its slot (and purges its per-slot memory) so long videos never
+        # exhaust the fixed max_objects slots on transient objects
+        matched = {int(s) for s in det_to_slot if s >= 0}
+        for slot in list(self.object_manager.slot_to_info):
+            if slot in matched:
+                self._missed[slot] = 0
+            else:
+                self._missed[slot] = self._missed.get(slot, 0) + 1
+                if self._missed[slot] >= self.max_missed:
+                    self._release_slot(slot)
         return np.asarray(prob)
+
+    def _release_slot(self, slot: int) -> None:
+        """Deactivate a slot and purge its memory so a future object reusing
+        the slot never reads the deleted object's values."""
+        self.memory = self.memory._replace(
+            active=self.memory.active.at[slot].set(False),
+            values=self.memory.values.at[slot].set(0),
+            lt_values=self.memory.lt_values.at[slot].set(0),
+            sensory=self.memory.sensory.at[slot].set(0),
+        )
+        self.object_manager.release(slot)
+        self._missed.pop(slot, None)
 
     # -- semionline buffer / voting (yolo_with_deva.py:132-187 surface) -----
 

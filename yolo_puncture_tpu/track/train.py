@@ -183,7 +183,16 @@ class PropagationTrainer:
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.pyramid_fn = pyramid_fn
-        self.tx = optax.adam(lr)
+        # Optimize ONLY the 'params' collection: BN running statistics
+        # (batch_stats) receive nonzero grads through the use_running_average
+        # forward and must not be Adam-updated (they are statistics, and the
+        # separate BN-recalibration pass assumes they stay statistics).
+        # NOTE: set_to_zero (not optax.masked) — masked passes the un-masked
+        # updates through as RAW gradients, which apply_updates would add.
+        self.tx = optax.multi_transform(
+            {"adam": optax.adam(lr), "freeze": optax.set_to_zero()},
+            lambda v: {k: ("adam" if k == "params" else "freeze") for k in v},
+        )
         loss_fn = build_propagation_loss(core, pyramid_fn=pyramid_fn)
 
         def batched_loss(variables, images, onehot, obj_valid):
