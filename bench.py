@@ -63,11 +63,16 @@ def main():
     if track:
         try:
             if fused:
+                from yolo_puncture_tpu.track import reference_tracker_geometry
                 from yolo_puncture_tpu.track.core import TrackerCore
 
                 shared = os.environ.get("BENCH_SHARED", "1") != "0"
+                # reference DEVA geometry: min-side 480 at the 720p source
+                # aspect, /16-padded → (480, 864).  A 480² square would do
+                # ~2× less readout work than the reference stage.
                 core = TrackerCore(
-                    image_size=(480, 480), max_objects=4, mem_frames=8,
+                    image_size=reference_tracker_geometry((720, 1280)),
+                    max_objects=4, mem_frames=8,
                     mem_every=4, enable_long_term=False, dtype=jnp.bfloat16,
                     subpix_tail=True, pyramid_adapter=shared,
                 )
@@ -107,10 +112,18 @@ def main():
 
     fused_step = None
     if core is not None:
+        from yolo_puncture_tpu.ops.letterbox import letterbox_params
         from yolo_puncture_tpu.track.network import PropagationNetwork
 
         trk_vars = core.variables
         th, tw = core.image_size
+        # letterbox content region of the 640² detector square, as fractions
+        # of the pyramid extent (720p: rows [140, 500) of 640, full cols)
+        _r, (new_w, new_h), (left, top) = letterbox_params(720, 1280, imgsz)
+        content_box = (
+            (top / imgsz, (top + new_h) / imgsz),
+            (left / imgsz, (left + new_w) / imgsz),
+        )
 
         @jax.jit
         def fused_step(variables, mem, frames_u8, conf, chk):
@@ -127,10 +140,14 @@ def main():
                 # shared backbone: the tracker reads the detector's P3/P4/P5
                 # pyramid (already computed for THIS batch) through 1×1
                 # projections + matmul resizes — no second encoder, no second
-                # read of the raw frames (PyramidAdapter docstring)
+                # read of the raw frames (PyramidAdapter docstring).  The
+                # content_box restricts sampling to the letterbox CONTENT
+                # region so the rectangular tracker grid reads undistorted
+                # content, not the pad bands.
                 pyr = out["pyramid"]
                 keys, skips = core.encode_pyramid(
-                    trk_vars, pyr["P3"], pyr["P4"], pyr["P5"]
+                    trk_vars, pyr["P3"], pyr["P4"], pyr["P5"],
+                    content_box=content_box,
                 )
             else:
                 # self-contained tracker encoder on a 480² resize of the raw

@@ -21,15 +21,20 @@ import numpy as np
 
 
 @lru_cache(maxsize=8)
-def _interp_matrix(src: int, dst: int) -> np.ndarray:
+def _interp_matrix(src: int, dst: int, window=None) -> np.ndarray:
     """(src, dst) bilinear interpolation matrix, half-pixel centers (the same
     sampling jax.image.resize/cv2 use for upscaling).  Lets the mask upsample
     run as two MXU matmuls instead of a gather-based resize.  Returns numpy
-    (cached); converted to a device constant at trace time."""
+    (cached); converted to a device constant at trace time.
+
+    ``window=(lo, hi)`` (source-pixel units, fractional allowed) samples only
+    that source span — used to read the letterbox CONTENT region out of a
+    padded feature map in the same matmul (no separate crop)."""
+    lo, hi = (0.0, float(src)) if window is None else (float(window[0]), float(window[1]))
     M = np.zeros((src, dst), np.float32)
-    scale = src / dst
+    scale = (hi - lo) / dst
     for j in range(dst):
-        x = (j + 0.5) * scale - 0.5
+        x = lo + (j + 0.5) * scale - 0.5
         i0 = int(np.floor(x))
         f = x - i0
         i0c, i1c = np.clip(i0, 0, src - 1), np.clip(i0 + 1, 0, src - 1)

@@ -12,12 +12,25 @@ from yolo_puncture_tpu.track.saver import (  # noqa: F401
 from yolo_puncture_tpu.track.memory import MemoryState, init_memory  # noqa: F401
 
 
+def reference_tracker_geometry(frame_hw, min_side: int = 480):
+    """DEVA-equivalent processing geometry for a (h0, w0) source frame: resize
+    the MIN side to ``min_side`` keeping aspect (get_input_frame_for_deva,
+    yolo_with_deva.py:120), pad each side UP to /16 (DEVA pad_divide_by).
+    720p → (480, 864).  Returns (th, tw)."""
+    h0, w0 = frame_hw
+    r = min_side / min(h0, w0)
+    th = -(-round(h0 * r) // 16) * 16
+    tw = -(-round(w0 * r) // 16) * 16
+    return int(th), int(tw)
+
+
 def build_bench_tracker(
     imgsz: int = 640,
     dtype=None,
     min_side: int = 480,
     jit: bool = True,
     window: int = 4,
+    frame_hw=(720, 1280),
 ):
     """Benchmark helper: STREAMING propagation over frame batches.
 
@@ -32,16 +45,18 @@ def build_bench_tracker(
     the sequential scan shrinks w× (write cadence = w, replacing mem_every —
     w=4 writes DENSER than the reference's mem_every=5 default).  ``window=1``
     falls back to the exact per-frame sequential scan.  Geometry matches the
-    reference DEVA stage (min-side size=480 input, yolo_with_deva.py
-    get_input_frame_for_deva), independent of the detector's 640² letterbox.
-    Long-term memory stays off per the reference's enablement formula for short
-    windows (yolo_with_deva.py:242-245).
+    reference DEVA stage: min-side ``min_side`` at the SOURCE frame's aspect
+    ratio, /16-padded (reference_tracker_geometry; 480×864 for the 720p bench
+    input — NOT a 480² square, which would be ~2× less readout work than the
+    reference stage).  Long-term memory stays off per the reference's
+    enablement formula for short windows (yolo_with_deva.py:242-245).
     """
     import jax
     import jax.numpy as jnp
 
     core = TrackerCore(
-        image_size=(min_side, min_side), max_objects=4, mem_frames=8,
+        image_size=reference_tracker_geometry(frame_hw, min_side),
+        max_objects=4, mem_frames=8,
         mem_every=window if window > 1 else 5,
         enable_long_term=False, dtype=dtype or jnp.float32,
     )

@@ -76,16 +76,24 @@ class KeyEncoder(nn.Module):
         return key, {"f4": f4, "f8": f8, "f16": f16}
 
 
-def resize_bilinear_nhwc(x, H: int, W: int):
+def resize_bilinear_nhwc(x, H: int, W: int, src_window=None):
     """(…, h, w, C) → (…, H, W, C) bilinear resize as two matmul contractions
-    (channel lanes stay minor — no gather, MXU-friendly)."""
+    (channel lanes stay minor — no gather, MXU-friendly).
+
+    ``src_window=((rlo, rhi), (clo, chi))`` in FRACTIONS of the source extent
+    samples only that region (crop + resize fused into the same matmuls)."""
     from yolo_puncture_tpu.ops.masks import _interp_matrix
 
     h, w = x.shape[-3], x.shape[-2]
-    if (h, w) == (H, W):
+    if (h, w) == (H, W) and src_window is None:
         return x
-    mh = jnp.asarray(_interp_matrix(h, H)).astype(x.dtype)
-    mw = jnp.asarray(_interp_matrix(w, W)).astype(x.dtype)
+    rw = cw = None
+    if src_window is not None:
+        (rlo, rhi), (clo, chi) = src_window
+        rw = (rlo * h, rhi * h)
+        cw = (clo * w, chi * w)
+    mh = jnp.asarray(_interp_matrix(h, H, rw)).astype(x.dtype)
+    mw = jnp.asarray(_interp_matrix(w, W, cw)).astype(x.dtype)
     x = jnp.einsum("...hwc,hH->...Hwc", x, mh, preferred_element_type=jnp.float32)
     x = jnp.einsum(
         "...Hwc,wW->...HWc", x.astype(mh.dtype), mw, preferred_element_type=jnp.float32
@@ -117,14 +125,20 @@ class PyramidAdapter(nn.Module):
         self.proj16b = ConvBN(128, 1, 1, dtype=self.dtype)   # from P5 (context)
         self.fuse16 = ConvBN(256, 3, 1, dtype=self.dtype)
 
-    def __call__(self, p3, p4, p5, out_hw, train: bool = False):
+    def __call__(self, p3, p4, p5, out_hw, train: bool = False, content_box=None):
         """p3 (B, H8, W8, C3), p4 (B, H16, W16, C4), p5 (B, H32, W32, C5);
-        out_hw = (h16, w16) tracker stride-16 grid → skips dict (B, …)."""
+        out_hw = (h16, w16) tracker stride-16 grid → skips dict (B, …).
+
+        ``content_box=((rlo, rhi), (clo, chi))``, fractions of the pyramid
+        extent, samples only the letterbox CONTENT region — so a tracker grid
+        with the reference's min-side-480 aspect (e.g. 480×864 for 720p input)
+        reads undistorted content instead of the pad bands (the crop fuses
+        into the resize matmuls)."""
         h16, w16 = out_hw
-        f4 = resize_bilinear_nhwc(self.proj4(p3, train), 4 * h16, 4 * w16)
-        f8 = resize_bilinear_nhwc(self.proj8(p4, train), 2 * h16, 2 * w16)
-        a = resize_bilinear_nhwc(self.proj16a(p4, train), h16, w16)
-        b = resize_bilinear_nhwc(self.proj16b(p5, train), h16, w16)
+        f4 = resize_bilinear_nhwc(self.proj4(p3, train), 4 * h16, 4 * w16, content_box)
+        f8 = resize_bilinear_nhwc(self.proj8(p4, train), 2 * h16, 2 * w16, content_box)
+        a = resize_bilinear_nhwc(self.proj16a(p4, train), h16, w16, content_box)
+        b = resize_bilinear_nhwc(self.proj16b(p5, train), h16, w16, content_box)
         f16 = self.fuse16(jnp.concatenate([a, b], axis=-1), train)
         return {"f4": f4, "f8": f8, "f16": f16}
 
@@ -276,10 +290,12 @@ class PropagationNetwork(nn.Module):
     def encode_key(self, image, train: bool = False):
         return self.key_encoder(image, train)
 
-    def encode_from_pyramid(self, p3, p4, p5, out_hw, train: bool = False):
+    def encode_from_pyramid(
+        self, p3, p4, p5, out_hw, train: bool = False, content_box=None
+    ):
         """Detector pyramid → (key (B, h16, w16, Ck), skips) — the shared-backbone
         replacement for encode_key (PyramidAdapter docstring)."""
-        skips = self.pyr_adapter(p3, p4, p5, out_hw, train)
+        skips = self.pyr_adapter(p3, p4, p5, out_hw, train, content_box)
         key = self.key_encoder.project_key(skips["f16"], train)
         return key, skips
 
