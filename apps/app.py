@@ -101,20 +101,17 @@ def yolo_inference(
         output_video_path, cv2.VideoWriter.fourcc(*"MP4V"), fps, (w, h)
     )
 
-    from yolo_puncture_tpu.analytics.speed import insertion_state_machine
-    from yolo_puncture_tpu.ops.signal import gaussian_smoothing
-
-    smooth = gaussian_smoothing(out.lens)
-    res = insertion_state_machine(
-        out.classes, smooth, out.detected, out.start_frame or 0, fps
-    )
+    # the pipeline already ran smoothing + the insertion state machine —
+    # reuse its series instead of recomputing (keeps rendering in exact sync)
+    smooth = out.smooth_lens
+    actual_lens = out.actual_lens
 
     inserted = False
     last_xyxy = None
     for idx, frame in enumerate(frames):
         cls, prob = out.classes[idx], out.probs[idx]
         rect_len = smooth[idx]
-        actual_len = res.actual_lens[idx]
+        actual_len = actual_lens[idx]
         if inserted and last_xyxy is not None:
             x1, y1, x2, y2 = last_xyxy
         else:

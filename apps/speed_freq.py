@@ -39,6 +39,12 @@ def process_pickle(filepath: str, output_dir: str, fps: float = 30.0) -> bool:
         return False
     try:
         if insert_start_frame == 0:
+            # reference quirk (speed_freq.py:76): with no pre-insert frames the
+            # ratio is read from key 0 of the pickle; a pickle without it would
+            # KeyError-crash the whole directory loop there — guarded here
+            if 0 not in data:
+                print(f"{base}: key_frame 0 and no stored ratio — skipped")
+                return False
             pixel_to_mm = data[0]
         else:
             pixel_to_mm = compute_pixel_to_mm_ratio(lens_pixels, insert_start_frame)

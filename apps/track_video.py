@@ -284,11 +284,13 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.amp else jnp.float32
     yolo_model = YOLO(args.model, nc=1, dtype=dtype)
-    # tracker input geometry: min side = size, /16-aligned, 16:9-ish default
+    # tracker input geometry: min side = size at source aspect, /16-padded —
+    # same helper the bench uses (round-to-16 here once disagreed with it:
+    # 480x848 vs the reference 480x864)
+    from yolo_puncture_tpu.track import reference_tracker_geometry
+
     h0, w0 = video_reader[0][0].shape[:2]
-    scale = args.size / min(h0, w0)
-    th = int(round(h0 * scale / 16)) * 16
-    tw = int(round(w0 * scale / 16)) * 16
+    th, tw = reference_tracker_geometry((h0, w0), args.size)
     tracker = TrackerCore(
         config=cfg,
         variables=args.tracker_weights if args.tracker_weights

@@ -42,6 +42,52 @@ def test_param_counts(name, lo, hi):
     assert lo < n < hi, f"{name}: {n} params outside [{lo}, {hi}]"
 
 
+# (published_rounded, exact_ours): published table params (ultralytics /
+# THU-MIG README, rounded to 0.1M): v8/v11 totals; v10 values are FUSED
+# (one2one-only inference) counts, the repo's Params column.  exact_ours pins
+# the computed count (consistently 16 below torch — the DFL conv is a fixed
+# buffer here, a parameter there).  Together these uniquely determine the
+# block allocation (e.g. v10's rank-guided CIB placement per scale).
+_PUBLISHED = {
+    ("v8", "n"): (3.2e6, 3157184), ("v8", "s"): (11.2e6, 11166544),
+    ("v8", "m"): (25.9e6, 25902624), ("v8", "l"): (43.7e6, 43691504),
+    ("v8", "x"): (68.2e6, 68229632),
+    ("v10", "n"): (2.3e6, 2310608), ("v10", "s"): (7.2e6, 7277904),
+    ("v10", "m"): (15.4e6, 15389952), ("v10", "b"): (19.1e6, 19101680),
+    ("v10", "l"): (24.4e6, 24415984), ("v10", "x"): (29.5e6, 29539392),
+    ("v11", "n"): (2.6e6, 2624064), ("v11", "s"): (9.4e6, 9458736),
+    ("v11", "m"): (20.1e6, 20114672), ("v11", "l"): (25.3e6, 25372144),
+    ("v11", "x"): (56.9e6, 56966160),
+}
+
+
+@pytest.mark.parametrize("version,scale", sorted(_PUBLISHED))
+def test_param_counts_match_published_all_scales(version, scale):
+    from yolo_puncture_tpu.models.yolo import YOLOModel
+
+    model = YOLOModel(version=version, scale=scale, nc=80, task="detect")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    flat = jax.tree_util.tree_flatten_with_path(shapes["params"])[0]
+    total = o2m = 0
+    for path, leaf in flat:
+        p = jax.tree_util.keystr(path)
+        n = int(np.prod(leaf.shape))
+        total += n
+        if (
+            ("cv2_" in p or "cv3_" in p)
+            and "one2one" not in p
+            and ("model_23" in p or "model_22" in p)
+        ):
+            o2m += n  # v10 one2many branch — dropped in the fused count
+    got = total - o2m if version == "v10" else total
+    published, exact = _PUBLISHED[(version, scale)]
+    assert got == exact, f"{version}{scale}: {got} != pinned {exact}"
+    assert abs(got - published) / published < 0.015, (
+        f"{version}{scale}: {got} vs published {published}"
+    )
+
+
 @pytest.mark.parametrize("name", ["yolov8n-seg", "yolo10n-seg", "yolo11n-seg"])
 def test_segment_forward_shapes(name):
     model, variables, x = init_model(name, nc=1, img=128)

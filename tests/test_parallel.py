@@ -86,3 +86,22 @@ def test_trainer_resume_and_ema(tmp_path):
     p0 = jax.tree.leaves(state.params)[0]
     e0 = jax.tree.leaves(state.ema_params)[0]
     assert p0.shape == e0.shape
+    # SGD momentum buffers survive the round trip (resume must not reset them)
+    assert restored.get("opt_state") is not None
+
+    # a resumed fit() restores params, EMA, and opt_state from the checkpoint —
+    # NOT the fresh random init (a fresh-init EMA would be blended in at the
+    # restored-step decay and poison the average)
+    class _OneBatch:
+        def batches(self, bs):
+            yield batch
+
+    tr2 = Trainer(model, nc=1, imgsz=64, total_steps=10, warmup_steps=0, seed=123)
+    state2 = tr2.fit(_OneBatch(), epochs=1, resume=path)
+    assert int(state2.step) == 2  # 1 restored + 1 new step
+    # after ONE resumed step the EMA must stay close to the restored EMA
+    # (ramp decay ~0 at step 2 ⇒ ema ≈ new params, which started at restored
+    # params) — with a fresh random init it would be far away
+    e_new = np.concatenate([np.ravel(x) for x in jax.tree.leaves(state2.ema_params)])
+    e_old = np.concatenate([np.ravel(x) for x in jax.tree.leaves(state.ema_params)])
+    assert np.abs(e_new - e_old).mean() < 0.1 * (np.abs(e_old).mean() + 1e-8)

@@ -326,14 +326,42 @@ class SamAutomaticMaskGenerator:
         gx, gy = np.meshgrid(side, side)
         return np.stack([gx.ravel(), gy.ravel()], -1)  # (n², 2) in [0,1]
 
+    @staticmethod
+    def _box_nms(cands, thresh):
+        """Greedy box-NMS over (mask, score, payload) triples, highest score
+        first; returns kept (mask, score, payload, box) tuples."""
+        kept, boxes = [], []
+        for m, score, payload in sorted(cands, key=lambda t: -t[1]):
+            ys, xs = np.where(m)
+            if len(xs) == 0:
+                continue
+            box = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+            dup = False
+            for kb in boxes:
+                ix1, iy1 = max(box[0], kb[0]), max(box[1], kb[1])
+                ix2, iy2 = min(box[2], kb[2]), min(box[3], kb[3])
+                inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
+                union = (
+                    (box[2] - box[0]) * (box[3] - box[1])
+                    + (kb[2] - kb[0]) * (kb[3] - kb[1])
+                    - inter
+                )
+                if union > 0 and inter / union > thresh:
+                    dup = True
+                    break
+            if dup:
+                continue
+            boxes.append(box)
+            kept.append((m, score, payload, box))
+        return kept
+
     def generate(self, image: np.ndarray) -> List[Dict]:
         import cv2
 
         h, w = image.shape[:2]
         S = self.input_size
-        img = cv2.resize(image, (S, S)).astype(np.float32)
-        img = (img - np.array([123.675, 116.28, 103.53])) / np.array([58.395, 57.12, 57.375])
-        img = img[None]
+        mean = np.array([123.675, 116.28, 103.53])
+        std = np.array([58.395, 57.12, 57.375])
 
         crops = [(0, 0, w, h, self.points_per_side)]
         for layer in range(1, self.crop_n_layers + 1):
@@ -345,9 +373,20 @@ class SamAutomaticMaskGenerator:
                         (j * w // n, i * h // n, (j + 1) * w // n, (i + 1) * h // n, pps)
                     )
 
+        all_cands: List = []  # (full-frame bool mask at model res scale? no: full-frame (h, w)) 
         results: List[Dict] = []
         for (cx1, cy1, cx2, cy2, pps) in crops:
-            pts = self._grid(pps)
+            ch, cw = cy2 - cy1, cx2 - cx1
+            if ch <= 0 or cw <= 0:
+                continue
+            # encode the CROPPED region: zoomed-in detail is the point of crop
+            # layers (upstream SamAutomaticMaskGenerator crops the image and
+            # re-grids points inside the crop; a full-frame re-run at lower
+            # point density would add nothing but duplicates)
+            crop_img = image[cy1:cy2, cx1:cx2]
+            img = cv2.resize(crop_img, (S, S)).astype(np.float32)
+            img = ((img - mean) / std)[None]
+            pts = self._grid(pps)  # [0,1]² relative to THIS crop
             B = self.points_per_batch
             cand_masks, cand_scores = [], []
             for s in range(0, len(pts), B):
@@ -357,7 +396,7 @@ class SamAutomaticMaskGenerator:
                 points = jnp.asarray(chunk[:, None, :], jnp.float32)  # (B, 1, 2)
                 labels = jnp.ones((B, 1), jnp.int32)
                 masks, iou = self._run(self.sam["variables"], jnp.asarray(img), points, labels)
-                masks = np.asarray(masks)  # (B, M, S/4*?, ...)
+                masks = np.asarray(masks)
                 iou = np.asarray(iou)
                 best = iou.argmax(-1)
                 for b in range(min(B, len(pts) - s)):
@@ -375,55 +414,41 @@ class SamAutomaticMaskGenerator:
                     cand_scores.append(score)
 
             # dedupe by box NMS within the crop
-            kept = []
-            boxes = []
-            for m, score in sorted(
-                zip(cand_masks, cand_scores), key=lambda t: -t[1]
+            for m, score, _payload, _box in self._box_nms(
+                [(m, sc, None) for m, sc in zip(cand_masks, cand_scores)],
+                self.box_nms_thresh,
             ):
-                ys, xs = np.where(m)
-                if len(xs) == 0:
-                    continue
-                box = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
-                dup = False
-                for kb in boxes:
-                    ix1, iy1 = max(box[0], kb[0]), max(box[1], kb[1])
-                    ix2, iy2 = min(box[2], kb[2]), min(box[3], kb[3])
-                    inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
-                    union = (
-                        (box[2] - box[0]) * (box[3] - box[1])
-                        + (kb[2] - kb[0]) * (kb[3] - kb[1])
-                        - inter
-                    )
-                    if union > 0 and inter / union > self.box_nms_thresh:
-                        dup = True
-                        break
-                if dup:
-                    continue
-                boxes.append(box)
-                kept.append((m, score, box))
-
-            for m, score, box in kept:
-                seg = cv2.resize(
-                    m.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
+                # paste the crop-resolution mask back into full-frame coords
+                seg_crop = cv2.resize(
+                    m.astype(np.uint8), (cw, ch), interpolation=cv2.INTER_NEAREST
                 ).astype(bool)
-                ys, xs = np.where(seg)
-                if len(xs) == 0:
-                    continue
-                bx1, by1 = int(xs.min()), int(ys.min())
-                bw, bh = int(xs.max() - bx1 + 1), int(ys.max() - by1 + 1)
-                if self.min_mask_region_area and seg.sum() < self.min_mask_region_area:
-                    continue
-                results.append(
-                    {
-                        "segmentation": seg,
-                        "bbox": [bx1, by1, bw, bh],
-                        "area": int(seg.sum()),
-                        "predicted_iou": score,
-                        "crop_box": [cx1, cy1, cx2, cy2],
-                        "stability_score": 1.0,
-                        "point_coords": [[0, 0]],
-                    }
-                )
+                seg = np.zeros((h, w), bool)
+                seg[cy1:cy2, cx1:cx2] = seg_crop
+                all_cands.append((seg, score, (cx1, cy1, cx2, cy2)))
+
+        # cross-crop dedupe (upstream crop_nms): full-frame box NMS over crops
+        kept = self._box_nms(
+            [(m, sc, cb) for m, sc, cb in all_cands], self.box_nms_thresh
+        )
+        for seg, score, crop_box, _box in kept:
+            ys, xs = np.where(seg)
+            if len(xs) == 0:
+                continue
+            bx1, by1 = int(xs.min()), int(ys.min())
+            bw, bh = int(xs.max() - bx1 + 1), int(ys.max() - by1 + 1)
+            if self.min_mask_region_area and seg.sum() < self.min_mask_region_area:
+                continue
+            results.append(
+                {
+                    "segmentation": seg,
+                    "bbox": [bx1, by1, bw, bh],
+                    "area": int(seg.sum()),
+                    "predicted_iou": score,
+                    "crop_box": list(crop_box),
+                    "stability_score": 1.0,
+                    "point_coords": [[0, 0]],
+                }
+            )
         return results
 
 

@@ -127,13 +127,20 @@ class VAN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dims, depths = _CFG[self.variant]
+        # per-stage MLP ratios [8, 8, 4, 4] — every reference variant b0–b6
+        # uses this schedule (van.py:294-351); a constant 4 would shrink the
+        # stage-1/2 MLPs and break .pth.tar weight loading
+        mlp_ratios = (8, 8, 4, 4)
         for s in range(4):
             x = OverlapPatchEmbed(
                 dims[s], patch=7 if s == 0 else 3, stride=4 if s == 0 else 2,
                 dtype=self.dtype, name=f"patch_embed{s + 1}",
             )(x, train)
             for i in range(depths[s]):
-                x = VanBlock(dims[s], dtype=self.dtype, name=f"block{s + 1}_{i}")(x, train)
+                x = VanBlock(
+                    dims[s], mlp_ratio=mlp_ratios[s], dtype=self.dtype,
+                    name=f"block{s + 1}_{i}",
+                )(x, train)
             x = nn.LayerNorm(dtype=self.dtype, name=f"norm{s + 1}")(x)
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

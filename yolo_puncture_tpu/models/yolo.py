@@ -76,8 +76,20 @@ V8_SPEC = [
 ]
 
 def _v10_spec(scale: str):
-    # n/s use a large-kernel CIB in the last head stage; s+ swap backbone stage 8 to CIB.
-    bb8 = ("C2f", (1024, True)) if scale == "n" else ("C2fCIB", (1024, True, True))
+    # n/s use a large-kernel CIB in the last head stage; s+ swap backbone stage 8
+    # to CIB — but ONLY s keeps the large kernel there (yolov10m/b/l/x yamls say
+    # C2fCIB [1024, True]; lk=True would build RepVGGDW and break .pt loading).
+    if scale == "n":
+        bb8 = ("C2f", (1024, True))
+    elif scale == "s":
+        bb8 = ("C2fCIB", (1024, True, True))
+    else:
+        bb8 = ("C2fCIB", (1024, True))
+    # rank-guided CIB allocation grows with scale (yolov10 yamls); validated by
+    # matching the published fused param counts to <0.05%: n 2.31M s 7.28M
+    # m 15.39M b 19.10M l 24.42M x 29.54M (tests/test_models_yolo.py)
+    bb6 = ("C2fCIB", (512, True)) if scale == "x" else ("C2f", (512, True))
+    h13 = ("C2fCIB", (512, True)) if scale in ("b", "l", "x") else ("C2f", (512, False))
     if scale in ("n", "s"):
         h19 = ("C2f", (512, False))
         h22 = ("C2fCIB", (1024, True, True))
@@ -91,14 +103,14 @@ def _v10_spec(scale: str):
         (-1, 1, "Conv", (256, 3, 2)),       # 3
         (-1, 6, "C2f", (256, True)),        # 4
         (-1, 1, "SCDown", (512, 3, 2)),     # 5
-        (-1, 6, "C2f", (512, True)),        # 6
+        (-1, 6, bb6[0], bb6[1]),            # 6
         (-1, 1, "SCDown", (1024, 3, 2)),    # 7
         (-1, 3, bb8[0], bb8[1]),            # 8
         (-1, 1, "SPPF", (1024, 5)),         # 9
         (-1, 1, "PSA", (1024,)),            # 10
         (-1, 1, "Upsample", ()),            # 11
         ((-1, 6), 1, "Concat", ()),         # 12
-        (-1, 3, "C2f", (512, False)),       # 13
+        (-1, 3, h13[0], h13[1]),            # 13
         (-1, 1, "Upsample", ()),            # 14
         ((-1, 4), 1, "Concat", ()),         # 15
         (-1, 3, "C2f", (256, False)),       # 16 P3

@@ -41,6 +41,8 @@ class PipelineOutput:
     end_frame: Optional[int]
     speed_mm_s: Optional[float]
     lens: List[float]              # per-frame min-rect pixel length (orig coords)
+    smooth_lens: List[float]       # gaussian-smoothed lens (the series the state machine saw)
+    actual_lens: List[float]       # calibrated mm lengths (NaN before calibration)
     classes: List[int]
     probs: List[float]
     boxes: List[Tuple[int, int, int, int]]
@@ -217,7 +219,7 @@ class VideoSpeedPipeline:
     ) -> PipelineOutput:
         n = len(raw)
         if n == 0:
-            return PipelineOutput(None, None, None, [], [], [], [], [], fps)
+            return PipelineOutput(None, None, None, [], [], [], [], [], [], [], fps)
 
         # host pass: last-box/last-length fallback chain (app.py:106-112)
         host_timer = self.timer.stage("host_geometry")
@@ -257,8 +259,6 @@ class VideoSpeedPipeline:
             probs = [float(item["cls_prob"]) for item in raw]
             if undetected_frames:
                 # re-run the classifier for dropout frames with the fallback boxes
-                from yolo_puncture_tpu.tasks.classify import predict_and_find_start_inserted
-
                 idxs = sorted(undetected_frames)
                 sub_frames = [undetected_frames[i] for i in idxs]
                 sub_boxes = [boxes[i] for i in idxs]
@@ -288,6 +288,8 @@ class VideoSpeedPipeline:
             end_frame=res.end_frame,
             speed_mm_s=res.speed_mm_s,
             lens=lens,
+            smooth_lens=[float(v) for v in smooth],
+            actual_lens=[float(v) for v in res.actual_lens],
             classes=classes,
             probs=probs,
             boxes=boxes,

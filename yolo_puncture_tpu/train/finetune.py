@@ -110,12 +110,12 @@ class ClassifierFinetuner:
 
         from yolo_puncture_tpu.models.efficientnet import preprocess_classifier
 
-        def loss_fn(params, batch_stats, images_u8, labels):
+        def loss_fn(params, batch_stats, images_u8, labels, dropout_rng):
             variables = {"params": params, "batch_stats": batch_stats}
             x = preprocess_classifier(images_u8, input_size, model.dtype)
             logits, updates = model.apply(
                 variables, x, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(0)},
+                rngs={"dropout": dropout_rng},
             )
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32), labels
@@ -124,10 +124,13 @@ class ClassifierFinetuner:
             return ce, (acc, updates["batch_stats"])
 
         @jax.jit
-        def step(params, batch_stats, opt_state, images_u8, labels):
+        def step(params, batch_stats, opt_state, images_u8, labels, step_idx):
+            # fresh dropout mask each step (a fixed key would drop the SAME
+            # units all training, under-training them and defeating dropout)
+            dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_idx)
             (loss, (acc, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(params, batch_stats, images_u8, labels)
+            )(params, batch_stats, images_u8, labels, dropout_rng)
             updates, opt_state = self.tx.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
             return params, new_stats, opt_state, loss, acc
@@ -148,6 +151,7 @@ class ClassifierFinetuner:
                 params, stats, self.opt_state, loss, acc = self._step(
                     params, stats, self.opt_state,
                     jnp.asarray(crops_u8[idx]), jnp.asarray(labels[idx]),
+                    jnp.asarray(it, jnp.int32),
                 )
                 it += 1
                 if log_every and it % log_every == 0:

@@ -121,8 +121,6 @@ def _branch_loss(
             [f.reshape(B, -1, nm) for f in coeff_feats], 1
         )  # (B, A, nm)
         Hp, Wp = proto.shape[1:3]
-        imgsz_h = Hp * 4
-        imgsz_w = Wp * 4
 
         def one(coef, pr, gt_masks, gboxes, t_gt_idx, fg_i, w_i):
             # fixed max_pos positives by weight

@@ -69,7 +69,12 @@ class Trainer:
         self.mesh = mesh
         self.schedule = lr_schedule(lr0, lrf, total_steps, warmup_steps)
         self.tx = optax.chain(
-            optax.add_decayed_weights(weight_decay),
+            # ultralytics optimizer grouping: weight decay on ≥2-D kernels
+            # only — BN scale/bias and conv/head biases are no-decay groups
+            optax.add_decayed_weights(
+                weight_decay,
+                mask=lambda params: jax.tree.map(lambda p: p.ndim >= 2, params),
+            ),
             optax.sgd(learning_rate=self.schedule, momentum=momentum, nesterov=True),
         )
         self.ema_decay = ema_decay
@@ -170,6 +175,22 @@ class Trainer:
                             ),
                             step=jnp.asarray(restored.get("step", 0), jnp.int32),
                         )
+                        if state.ema_params is not None:
+                            # restore the EMA (or re-seed it from the restored
+                            # params) — leaving the random-init copy would blend
+                            # garbage into the EMA at the restored-step decay
+                            ema = restored.get("ema_params") or restored["params"]
+                            state = state.replace(
+                                ema_params=jax.tree.map(jnp.asarray, ema)
+                            )
+                        if restored.get("opt_state") is not None:
+                            from flax import serialization
+
+                            state = state.replace(
+                                opt_state=serialization.from_state_dict(
+                                    state.opt_state, restored["opt_state"]
+                                )
+                            )
                         step = int(state.step)
                 state, metrics = self.train_step(state, batch)
                 step += 1
@@ -193,10 +214,14 @@ class Trainer:
 
         path = os.path.abspath(os.path.join(ckpt_dir, f"step_{int(state.step)}"))
         ckptr = ocp.StandardCheckpointer()
+        from flax import serialization
+
         payload = {
             "params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
             "step": int(state.step),
+            # SGD momentum buffers (+ schedule count) — resume must not reset
+            "opt_state": jax.device_get(serialization.to_state_dict(state.opt_state)),
         }
         if state.ema_params is not None:
             payload["ema_params"] = jax.device_get(state.ema_params)
