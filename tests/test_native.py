@@ -45,8 +45,52 @@ def test_native_contour_covers_mask_boundary():
 def test_native_rle_matches_python():
     seg = (rng.uniform(size=(17, 23)) > 0.6).astype(np.uint8)
     ours = rle_encode_native(seg)
-    ref = geometry.rle_encoding(seg)
+    # compare against the PURE-numpy reference (rle_encoding itself now
+    # prefers the native path, so it can no longer serve as the oracle)
+    ref = geometry._rle_encoding_np(seg)
     assert ours == ref
+
+
+def test_native_contour_ignores_hole_borders():
+    """A filled square with a comb-shaped hole: the traced contour must be the
+    OUTER boundary, not the (longer) hole border (reproduced defect)."""
+    mask = np.ones((50, 50), np.uint8)
+    # comb hole: long horizontal slot with teeth, interior only
+    mask[10:40, 10:40] = 0
+    mask[10:40, 12:14] = 1
+    mask[10:40, 20:22] = 1
+    mask[10:40, 30:32] = 1
+    # teeth reconnect to the body at the top so the hole is one region
+    c = largest_contour_native(mask)
+    assert c is not None and len(c)
+    xs, ys = c[:, 0], c[:, 1]
+    # the outer boundary of the full 50x50 square
+    assert xs.min() == 0 and xs.max() == 49 and ys.min() == 0 and ys.max() == 49
+    # every contour point is ON the image border (the true external contour)
+    on_border = (xs == 0) | (xs == 49) | (ys == 0) | (ys == 49)
+    assert on_border.all()
+
+
+def test_native_contour_serpentine_not_truncated():
+    """Serpentine mask with an O(h*w) boundary: returned contour must be the
+    complete loop, never a silent truncation (reproduced defect)."""
+    h = w = 60
+    mask = np.zeros((h, w), np.uint8)
+    for i in range(0, h, 4):
+        mask[i:i + 2, 2:w - 2] = 1
+        if (i // 4) % 2 == 0:
+            mask[i:i + 4, w - 4:w - 2] = 1
+        else:
+            mask[i:i + 4, 2:4] = 1
+    c = largest_contour_native(mask)
+    assert c is not None
+    import cv2
+
+    contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
+    ref = max(contours, key=len).reshape(-1, 2)
+    # same boundary pixel SET as cv2's external contour (traversal order and
+    # revisit counts may differ)
+    assert set(map(tuple, c.tolist())) == set(map(tuple, ref.tolist()))
 
 
 def test_native_rle_empty_and_full():

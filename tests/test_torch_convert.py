@@ -152,3 +152,21 @@ def test_full_model_conversion_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(variables["batch_stats"]["model_0"]["bn"]["var"]), 3.0
     )
+
+
+def test_square_linear_weight_transposed():
+    """Square torch Linear weights MUST be transposed (a same-shape early
+    return would silently load W where W.T belongs — SAM's dim→dim attention
+    projections hit exactly this)."""
+    import numpy as np
+    from yolo_puncture_tpu.utils.torch_convert import convert_tensor
+
+    W = np.arange(9, dtype=np.float32).reshape(3, 3)
+    np.testing.assert_array_equal(
+        convert_tensor("blocks.0.attn.proj.weight", W, (3, 3)), W.T
+    )
+    # embedding tables are already (num, dim) in both frameworks — no transpose
+    E = np.arange(12, dtype=np.float32).reshape(4, 3)
+    np.testing.assert_array_equal(
+        convert_tensor("tok_embedding.weight", E, (4, 3)), E
+    )

@@ -21,8 +21,10 @@ def gen(model, video_path: str, output_directory: str, mode: str = "train",
     import cv2
 
     file_name = os.path.basename(video_path)
-    match = re.search(r"video(\d+)\.mp4", file_name)
-    video_no = match.group(1) if match else "0"
+    match = re.search(r"video(\d+)\.mp4", file_name, re.IGNORECASE)
+    # non-matching names fall back to the unique stem — a constant '0' would
+    # collide frame/label filenames across videos and silently overwrite
+    video_no = match.group(1) if match else os.path.splitext(file_name)[0]
 
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():

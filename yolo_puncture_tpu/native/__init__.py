@@ -1,6 +1,10 @@
 """Native host-geometry extension: builds geometry.cpp with g++ on first use and
-exposes it via ctypes.  All entry points have pure-Python fallbacks in
-ops/geometry.py — this module only accelerates them.
+exposes it via ctypes.  Production wiring (ops/geometry.py): min_area_rect
+prefers the native rotating calipers on every call (the per-frame hot path);
+rle_encoding prefers the native encoder; largest-contour tracing serves as the
+cv2-absent fallback for mask_to_polygons(largest_only=True) — cv2.findContours
+stays first for pixel-exact reference parity.  Pure-Python fallbacks exist for
+every entry point (no g++ → same results, slower).
 """
 
 from __future__ import annotations
@@ -92,7 +96,10 @@ def largest_contour_native(mask: np.ndarray) -> Optional[np.ndarray]:
         return None
     m = np.ascontiguousarray((mask > 0).astype(np.uint8))
     h, w = m.shape
-    max_pts = 2 * (h + w) * 4 + 16
+    # Moore tracing can visit a boundary pixel up to 4 times on 1-px-wide
+    # spurs, and serpentine shapes have O(h·w) boundary pixels — size for the
+    # worst case; the C side returns -2 rather than truncating silently
+    max_pts = 4 * h * w + 16
     out = np.zeros((max_pts, 2), np.int32)
     n = lib.largest_contour(
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,

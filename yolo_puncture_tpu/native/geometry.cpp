@@ -76,7 +76,13 @@ int min_area_rect(const double* pts, int64_t n, double* out) {
         double ey = hull[j].second - hull[i].second;
         double len = std::hypot(ex, ey);
         if (len < 1e-12) continue;
-        double ca = ex / len, sa = ey / len;  // rotate by -angle
+        // normalize the candidate angle to [0, 90°) BEFORE computing extents,
+        // matching the numpy fallback (geometry.py angles % (pi/2)) — so the
+        // reported (w, h, angle) triple uses the same frame on every host
+        double ang = std::atan2(ey, ex);
+        ang = std::fmod(ang, M_PI / 2);
+        if (ang < 0) ang += M_PI / 2;
+        double ca = std::cos(ang), sa = std::sin(ang);  // rotate by -angle
         double minx = 1e300, maxx = -1e300, miny = 1e300, maxy = -1e300;
         for (int64_t q = 0; q < h; ++q) {
             double rx = hull[q].first * ca + hull[q].second * sa;
@@ -87,7 +93,7 @@ int min_area_rect(const double* pts, int64_t n, double* out) {
         double w = maxx - minx, hh = maxy - miny, area = w * hh;
         if (area < best_area) {
             best_area = area; bw = w; bh = hh;
-            bang = std::atan2(sa, ca) * 180.0 / M_PI;
+            bang = ang * 180.0 / M_PI;
             double cxr = (minx + maxx) / 2, cyr = (miny + maxy) / 2;
             bcx = cxr * ca - cyr * sa;
             bcy = cxr * sa + cyr * ca;
@@ -100,33 +106,37 @@ int min_area_rect(const double* pts, int64_t n, double* out) {
 // ---------------------------------------------------------------------------
 // Largest outer contour via Moore-neighbor tracing on a binary mask.
 // mask: h*w uint8 (0/1).  out_xy: caller buffer of max_pts*(x, y) int32.
-// Returns number of points written (0 if empty), or -1 on error.
+// Returns number of points written (0 if empty), -1 on error, or -2 when the
+// contour exceeds max_pts (caller must NOT use a truncated contour).
+//
+// Outer-vs-hole discrimination: a row-major scan's FIRST pixel of each
+// 8-connected component is always on the component's OUTER boundary, so the
+// trace starts only there; every other pixel of the component (including hole
+// borders, which a naive "background to the left" test would match) is marked
+// by a BFS component fill before the scan continues.
 // ---------------------------------------------------------------------------
 int64_t largest_contour(const uint8_t* mask, int64_t h, int64_t w,
                         int32_t* out_xy, int64_t max_pts) {
-    // find all 4-connected components' start pixels cheaply: scan for the
-    // topmost-leftmost foreground pixel of each blob via a visited map.
-    std::vector<uint8_t> visited((size_t)h * w, 0);
+    std::vector<uint8_t> visited((size_t)h * w, 0);  // component-filled
     static const int dy8[8] = {0, 1, 1, 1, 0, -1, -1, -1};
     static const int dx8[8] = {1, 1, 0, -1, -1, -1, 0, 1};
 
     int64_t best_len = 0;
     std::vector<int32_t> best;
     std::vector<int32_t> cur;
+    std::vector<int64_t> stack;
 
     for (int64_t y = 0; y < h; ++y) {
         for (int64_t x = 0; x < w; ++x) {
             const int64_t idx = y * w + x;
             if (!mask[idx] || visited[idx]) continue;
-            // border-start condition: left neighbor background
-            if (x > 0 && mask[idx - 1]) { visited[idx] = 1; continue; }
+            // first scan-order pixel of a new component → on its outer border
 
             // Moore trace from (y, x)
             cur.clear();
             int64_t cy = y, cx = x;
             int dir = 7;  // start search from NW-ish like classic tracing
             cur.push_back((int32_t)cx); cur.push_back((int32_t)cy);
-            visited[idx] = 1;
             const int64_t limit = 4 * h * w;
             for (int64_t steps = 0; steps < limit; ++steps) {
                 bool found = false;
@@ -143,18 +153,38 @@ int64_t largest_contour(const uint8_t* mask, int64_t h, int64_t w,
                 if (!found) break;  // isolated pixel
                 if (cy == y && cx == x) break;  // closed loop
                 cur.push_back((int32_t)cx); cur.push_back((int32_t)cy);
-                visited[cy * w + cx] = 1;
             }
             if ((int64_t)cur.size() / 2 > best_len) {
                 best_len = (int64_t)cur.size() / 2;
                 best = cur;
             }
+
+            // BFS-fill the whole component so its interior/hole-border pixels
+            // never start another trace
+            stack.clear();
+            stack.push_back(idx);
+            visited[idx] = 1;
+            while (!stack.empty()) {
+                const int64_t p = stack.back();
+                stack.pop_back();
+                const int64_t py = p / w, px = p % w;
+                for (int d = 0; d < 8; ++d) {
+                    int64_t ny = py + dy8[d], nx = px + dx8[d];
+                    if (ny >= 0 && ny < h && nx >= 0 && nx < w) {
+                        const int64_t q = ny * w + nx;
+                        if (mask[q] && !visited[q]) {
+                            visited[q] = 1;
+                            stack.push_back(q);
+                        }
+                    }
+                }
+            }
         }
     }
     if (best_len == 0) return 0;
-    const int64_t n = std::min(best_len, max_pts);
-    std::memcpy(out_xy, best.data(), (size_t)n * 2 * sizeof(int32_t));
-    return n;
+    if (best_len > max_pts) return -2;  // refuse to truncate silently
+    std::memcpy(out_xy, best.data(), (size_t)best_len * 2 * sizeof(int32_t));
+    return best_len;
 }
 
 // ---------------------------------------------------------------------------

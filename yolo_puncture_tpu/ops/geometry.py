@@ -203,7 +203,20 @@ def mask_to_polygons(binary_mask: np.ndarray, largest_only: bool = False):
         contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
         polys = [c.reshape(-1, 2).astype(np.float32) for c in contours]
     else:
-        polys = _trace_contours_np(m)
+        polys = None
+        if largest_only:
+            # cv2-absent fast path: C++ Moore tracer (outer border of the
+            # largest component — exactly the largest_only contract)
+            try:
+                from yolo_puncture_tpu.native import largest_contour_native
+
+                c = largest_contour_native(m)
+                if c is not None and len(c):
+                    polys = [c.astype(np.float32)]
+            except Exception:
+                polys = None
+        if polys is None:
+            polys = _trace_contours_np(m)
     if not polys:
         return [] if not largest_only else np.zeros((0, 2), np.float32)
     if largest_only:
@@ -251,6 +264,19 @@ def _trace_contours_np(m: np.ndarray):
 
 def rle_encoding(binary_segment: np.ndarray) -> list:
     """Binary mask → RLE run list (mask_tools.py:67-73 semantics)."""
+    try:
+        from yolo_puncture_tpu.native import rle_encode_native
+
+        out = rle_encode_native(binary_segment)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return _rle_encoding_np(binary_segment)
+
+
+def _rle_encoding_np(binary_segment: np.ndarray) -> list:
+    """Pure-numpy RLE (the parity reference the native encoder is tested against)."""
     pixels = np.asarray(binary_segment).flatten()
     pixels = np.concatenate([[0], pixels, [0]])
     runs = np.where(pixels[1:] != pixels[:-1])[0] + 1

@@ -112,9 +112,11 @@ def predict_and_find_start_inserted(
     if not frames:
         return [], [], 0
 
-    # BGR→RGB then center-crop 380² around each box (needle_clasify.py:151-154)
-    rgb = [f[..., ::-1] for f in frames]
-    crops = crop_frames_batch(np.asarray(rgb), np.asarray(boxes_list), model.input_size)
+    # center-crop 380² around each box, then BGR→RGB on the crops only
+    # (needle_clasify.py:151-154 semantics; flipping/stacking whole frames
+    # first would materialize a full copy of the video — ~2.7 GB for
+    # 1000×720p frames; the crop loop reads the original frames in place)
+    crops = crop_frames_batch(frames, np.asarray(boxes_list), model.input_size)[..., ::-1]
 
     class_list: List[int] = []
     prob_list: List[float] = []

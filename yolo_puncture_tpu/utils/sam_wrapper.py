@@ -19,9 +19,18 @@ def segment_anything(image: np.ndarray, model_type: str = "vit_l", device=None) 
 
     cfg = get_config()
     ckpt = os.path.join(cfg.PATH.WEIGHTS_PATH, "sam", f"sam_{model_type}.pth")
-    sam = sam_model_registry[model_type](
-        checkpoint=ckpt if os.path.exists(ckpt) else None
-    )
+    if not os.path.exists(ckpt):
+        # loud, not silent: random-weight SAM returns plausible-looking but
+        # meaningless masks that would be persisted as annotations
+        import sys
+
+        print(
+            f"WARNING: SAM checkpoint {ckpt} not found — generating with "
+            "RANDOM weights (annotation output will be meaningless)",
+            file=sys.stderr,
+        )
+        ckpt = None
+    sam = sam_model_registry[model_type](checkpoint=ckpt)
     generator = SamAutomaticMaskGenerator(
         sam, crop_n_layers=1, crop_n_points_downscale_factor=2
     )

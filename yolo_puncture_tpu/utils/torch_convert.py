@@ -127,11 +127,14 @@ def extract_state_dict(path: str) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 def convert_tensor(torch_key: str, arr: np.ndarray, target_shape) -> np.ndarray:
-    """Transpose a torch tensor to the flax layout expected at the target leaf."""
+    """Transpose a torch tensor to the flax layout expected at the target leaf.
+
+    The rank-specific transpose is attempted FIRST and a same-shape passthrough
+    only as a last resort: for SQUARE Linear/Conv weights the torch and flax
+    shapes coincide, and an early same-shape return would silently load W
+    where W.T belongs (e.g. SAM's dim→dim attention projections)."""
     a = np.asarray(arr)
     ts = tuple(target_shape)
-    if a.shape == ts:
-        return a
     if a.ndim == 4:
         if "upsample" in torch_key:
             # ConvTranspose2d (I, O, kh, kw) → flax (kh, kw, I, O), spatially
@@ -144,9 +147,15 @@ def convert_tensor(torch_key: str, arr: np.ndarray, target_shape) -> np.ndarray:
         if t.shape == ts:
             return t
     if a.ndim == 2:
-        t = a.T  # Linear (O, I) → (I, O)
-        if t.shape == ts:
-            return t
+        # torch nn.Embedding weight is already (num, dim) == flax Embed layout;
+        # everything else 2-D is a Linear (O, I) needing the transpose
+        is_embedding = "embed" in torch_key and "patch_embed" not in torch_key
+        if not (is_embedding and a.shape == ts):
+            t = a.T  # Linear (O, I) → (I, O)
+            if t.shape == ts:
+                return t
+    if a.shape == ts:
+        return a
     raise ValueError(
         f"{torch_key}: cannot convert shape {a.shape} → {ts}"
     )
