@@ -364,3 +364,52 @@ def test_subpix_tail_matches_exact(tracker):
     sub = np.asarray(decode_tail_subpix(V, hidden, f8p, f4p, dtype=jnp.float32))
     assert sub.shape == exact.shape
     np.testing.assert_allclose(sub, exact, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bench_assembly_cpu():
+    """The bench.py fused program assembly at tiny fp32 scale: detector
+    pyramid → PyramidAdapter with a letterbox content_box → windowed
+    propagation at an aspect-preserving (non-square) tracker grid.  Guards the
+    shared-backbone bench path end-to-end without a TPU."""
+    import jax
+    import jax.numpy as jnp
+    from yolo_puncture_tpu.models.yolo import YOLOModel
+    from yolo_puncture_tpu.ops.letterbox import letterbox, letterbox_params
+    from yolo_puncture_tpu.track.train import pyramid_channels_for
+
+    imgsz = 64
+    h0, w0 = 36, 64  # 16:9-ish source → pad bands top/bottom after letterbox
+    core = TrackerCore(
+        image_size=(32, 48), max_objects=2, mem_frames=2, mem_every=2,
+        enable_long_term=False, pyramid_adapter=True,
+        pyramid_channels=pyramid_channels_for("v10", "n"),
+    )
+    mem = core.memory._replace(active=core.memory.active.at[0].set(True))
+    model = YOLOModel(version="v10", scale="n", nc=1, task="segment")
+    dvars = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    )
+    _r, (new_w, new_h), (left, top) = letterbox_params(h0, w0, imgsz)
+    content_box = (
+        (top / imgsz, (top + new_h) / imgsz),
+        (left / imgsz, (left + new_w) / imgsz),
+    )
+
+    @jax.jit
+    def step(dvars, tvars, mem, frames_u8):
+        imgs, _, _ = letterbox(frames_u8, imgsz, dtype=jnp.float32, bgr_to_rgb=True)
+        out = model.apply(dvars, imgs)
+        pyr = out["pyramid"]
+        keys, skips = core.encode_pyramid(
+            tvars, pyr["P3"], pyr["P4"], pyr["P5"], content_box=content_box
+        )
+        mem2, ids_s4 = core.propagate_frames(tvars, mem, keys, skips, window=2)
+        return mem2, ids_s4
+
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (4, h0, w0, 3), np.uint8)
+    )
+    mem2, ids = step(dvars, core.variables, mem, frames)
+    assert ids.shape == (4, 8, 12)  # stride-4 grid of the (32, 48) tracker
+    assert np.asarray(mem2.frame_idx) == 4
+    assert np.isfinite(np.asarray(mem2.keys)).all()
