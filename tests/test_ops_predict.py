@@ -93,21 +93,46 @@ def test_decode_masks_shapes_and_threshold():
     assert set(vals).issubset({0.0, 1.0})
 
 
-def test_letterbox_integer_downscale_matches_cv2():
-    """Exact integer-ratio downscale (e.g. 720p → 640 letterbox, r=1/2) is block
-    averaging — the same kernel cv2.resize INTER_LINEAR applies at integer
-    ratios, i.e. the reference's host letterbox."""
+@pytest.mark.parametrize(
+    "h,w,imgsz",
+    [
+        (720, 1280, 640),    # n=2 (middle-two average)
+        (1080, 1920, 640),   # n=3 (single center tap — NOT a block mean)
+        (288, 512, 128),     # n=4 (middle-two of four)
+        (192, 256, 64),      # n=3 with width-driven ratio
+    ],
+)
+def test_letterbox_integer_downscale_matches_cv2(h, w, imgsz):
+    """Exact integer-ratio downscale matches cv2.resize INTER_LINEAR taps
+    (the reference's host letterbox) at every factor, not just n=2."""
     import cv2
 
     rng = np.random.default_rng(5)
-    frame = rng.integers(0, 255, (720, 1280, 3), np.uint8)
-    imgs, r, (left, top) = letterbox(jnp.asarray(frame[None]), 640)
-    assert r == 0.5 and (left, top) == (0, 140)
-    ref = cv2.resize(frame, (640, 360), interpolation=cv2.INTER_LINEAR) / 255.0
-    got = np.asarray(imgs[0, top : top + 360, :, :], np.float32)
+    frame = rng.integers(0, 255, (h, w, 3), np.uint8)
+    imgs, r, (left, top) = letterbox(jnp.asarray(frame[None]), imgsz)
+    _, (nw, nh), _ = letterbox_params(h, w, imgsz)
+    ref = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR) / 255.0
+    got = np.asarray(
+        imgs[0, top : top + nh, left : left + nw, :], np.float32
+    )
     np.testing.assert_allclose(got, ref, atol=1.5 / 255.0)
-    # padding rows filled with 114/255
-    np.testing.assert_allclose(np.asarray(imgs[0, :top]), 114 / 255.0, atol=1e-6)
+    # padding filled with 114/255
+    if top:
+        np.testing.assert_allclose(np.asarray(imgs[0, :top]), 114 / 255.0, atol=1e-6)
+
+
+def test_letterbox_noninteger_ratio_matches_cv2():
+    """Non-integer ratios use 2-tap interpolation (cv2 INTER_LINEAR, no
+    anti-aliasing) — jax.image.resize's anti-aliased downscale would deviate."""
+    import cv2
+
+    rng = np.random.default_rng(6)
+    frame = rng.integers(0, 255, (500, 700, 3), np.uint8)  # r = 640/700
+    imgs, r, (left, top) = letterbox(jnp.asarray(frame[None]), 640)
+    _, (nw, nh), _ = letterbox_params(500, 700, 640)
+    ref = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR) / 255.0
+    got = np.asarray(imgs[0, top : top + nh, left : left + nw, :], np.float32)
+    np.testing.assert_allclose(got, ref, atol=2.0 / 255.0)
 
 
 def test_letterbox_bgr_to_rgb_flag():

@@ -7,8 +7,9 @@ NHWC tensors come out, with no host round-trip.  The inverse mapping
 (``scale_boxes``/``scale_coords``) rescales predictions back to original frame
 coordinates (ultralytics ops.scale_boxes contract).
 
-TPU note: resize is a gather-free ``jax.image.resize`` (bilinear) that XLA lowers to
-MXU-friendly matmuls along each axis; pad + normalize fuse into the same program.
+TPU note: every resize path is gather-free matmul resampling with cv2
+INTER_LINEAR tap weights (see ``_cv2_linear_taps`` / ``_interp_matrix``);
+pad + normalize + BGR flip fuse into the same program.
 """
 
 from __future__ import annotations
@@ -21,23 +22,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _cv2_linear_taps(n: int):
+    """cv2.resize INTER_LINEAR taps for an exact integer downscale factor n.
+
+    cv2 samples src position (j+0.5)·n − 0.5 = n·j + (n−1)/2 with a 2-tap
+    triangle kernel and NO anti-aliasing: odd n lands exactly on one pixel
+    (single tap), even n halfway between the two middle pixels (½/½).  Only
+    n = 2 coincides with the n-block average; matching cv2 at every n is what
+    keeps fp32 parity with the ultralytics host letterbox for 1080p (n=3) and
+    4K (n=6) sources.  Taps stay inside the block [n·j, n·j+n) → block-local.
+    """
+    if n % 2 == 1:
+        return (((n - 1) // 2, 1.0),)
+    return ((n // 2 - 1, 0.5), (n // 2, 0.5))
+
+
 @lru_cache(maxsize=16)
 def _lane_mix_matrix(W: int, new_w: int, n: int, C: int, flip_c: bool, scale: float):
-    """(W·C, new_w·C) matrix: n-pixel box average along W + channel de-interleave
-    (+ optional BGR→RGB) + value scaling, as one MXU contraction.
+    """(W·C, new_w·C) matrix: cv2 INTER_LINEAR taps along W + channel
+    de-interleave (+ optional BGR→RGB) + value scaling, as one MXU contraction.
 
     Raw HWC frames put C (=3) in the lane dim — 3/128 lane utilization makes
     every elementwise op on them ~40× slower than the bandwidth floor.  Viewing
     the frame as (H, W·C) keeps lanes full (W·C is a multiple of 128 for common
-    sizes); the W-axis pooling then mixes lanes, which is exactly a matmul.
+    sizes); the W-axis resampling then mixes lanes, which is exactly a matmul.
     """
     M = np.zeros((W * C, new_w * C), np.float32)
     for wo in range(new_w):
-        for dw in range(n):
+        for dw, wt in _cv2_linear_taps(n):
             for c in range(C):
                 src = (n * wo + dw) * C + c
                 dst = wo * C + ((C - 1 - c) if flip_c else c)
-                M[src, dst] = scale
+                M[src, dst] = wt * scale
     return M  # numpy (cached); jnp.asarray at trace time — caching a traced
               # array would leak tracers across jit scopes
 
@@ -82,10 +98,10 @@ def letterbox(
     Bandwidth design (this op reads the largest tensors in the whole pipeline —
     e.g. 354 MB of 720p uint8 per 128-frame batch): arithmetic runs in the
     TARGET dtype (uint8 → bf16 is half the traffic of fp32); an exact integer
-    downscale (720p → 640², r = 1/2) lowers to a reshape-mean over n×n blocks —
-    both faster than the general resize AND the same kernel cv2.resize
-    INTER_LINEAR applies at integer ratios (area averaging), i.e. closer to
-    ultralytics' host letterbox than a triangle-kernel resize.  ``bgr_to_rgb``
+    downscale (720p → 640², r = 1/2; 1080p → r = 1/3) lowers to cv2
+    INTER_LINEAR's 1-2 taps per axis (`_cv2_linear_taps`) — pixel-parity with
+    ultralytics' host letterbox AND faster than a general resize.  Non-integer
+    ratios use 2-tap interpolation matmuls (also cv2-exact).  ``bgr_to_rgb``
     folds the channel flip in AFTER the downscale, where the tensor is ~4×
     smaller than flipping the raw frames at the call site.
     """
@@ -109,49 +125,64 @@ def letterbox(
             x = x[..., ::-1]
         bgr_to_rgb = False
     elif exact_int_down:
-        # (H, W·C)-layout path: full-lane H-pair sum on sublanes, then one MXU
-        # matmul for W pooling + channel de-interleave + BGR flip + /255 — the
+        # (H, W·C)-layout path: cv2-tap H resampling on sublanes, then one MXU
+        # matmul for W taps + channel de-interleave + BGR flip + /255 — the
         # only formulation that avoids C=3-minor elementwise ops on raw frames
         # (those run at 3/128 lane utilization, ~6× slower than this).
         n = inv_n
-        value_scale = 1.0 / (n * n * (255.0 if frames.dtype == jnp.uint8 else 1.0))
+        value_scale = 1.0 / (255.0 if frames.dtype == jnp.uint8 else 1.0)
         mix = jnp.asarray(
             _lane_mix_matrix(W, new_w, n, C, bgr_to_rgb, value_scale)
         ).astype(compute)
         bgr_to_rgb = False
+        h_taps = _cv2_linear_taps(n)
         ob = _MIX_OUT_BLOCK
         if (new_w * C) % ob == 0 and C <= ob:
             nb = (new_w * C) // ob
             ib = n * ob
-            # block-diagonal form of the same contraction (pooling is lane-local)
+            # block-diagonal form of the same contraction (taps are lane-local)
             mixb = mix.reshape(nb, ib, nb, ob)[
                 jnp.arange(nb), :, jnp.arange(nb), :
             ]  # (nb, ib, ob)
             # mix FIRST (the uint8→compute cast fuses into the matmul operand
             # read — no full-res float intermediate ever hits HBM), then the
-            # H-pooling runs on the n× smaller mixed tensor as slice-adds.
-            # Linear ops commute, so this is the same arithmetic as pool-first.
+            # H-taps run on the n× smaller mixed tensor as weighted slices.
+            # Linear ops commute, so this is the same arithmetic as taps-first.
             x = frames.reshape(B, H, nb, ib).astype(compute)
             y = jnp.einsum(
                 "bhni,nio->bhno", x, mixb, preferred_element_type=jnp.float32
             )
             y = y.reshape(B, new_h, n, nb, ob)
-            s = y[:, :, 0]
-            for d in range(1, n):
-                s = s + y[:, :, d]
+            s = h_taps[0][1] * y[:, :, h_taps[0][0]]
+            for d, wt in h_taps[1:]:
+                s = s + wt * y[:, :, d]
             x = s.astype(compute).reshape(B, new_h, new_w, C)
         else:
-            x = frames.reshape(B, H, W * C).astype(compute)
-            x = x.reshape(B, new_h, n, W * C).sum(axis=2)
+            x = frames.reshape(B, new_h, n, W * C).astype(compute)
+            s = h_taps[0][1] * x[:, :, h_taps[0][0]]
+            for d, wt in h_taps[1:]:
+                s = s + wt * x[:, :, d]
             x = jax.lax.dot_general(
-                x, mix, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                s, mix, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
             ).astype(compute)
             x = x.reshape(B, new_h, new_w, C)
     else:
+        # general ratio: cv2 INTER_LINEAR = half-pixel 2-tap interpolation with
+        # NO anti-aliasing, expressed as two matmul contractions (the same
+        # _interp_matrix the mask upsample uses).  jax.image.resize would
+        # anti-alias on downscale — visibly different pixels from the
+        # reference's host letterbox.
+        from yolo_puncture_tpu.ops.masks import _interp_matrix
+
         x = frames.astype(compute)
         if frames.dtype == jnp.uint8:
             x = x / compute(255.0)
-        x = jax.image.resize(x, (B, new_h, new_w, C), method="bilinear")
+        mh = jnp.asarray(_interp_matrix(H, new_h)).astype(compute)
+        mw = jnp.asarray(_interp_matrix(W, new_w)).astype(compute)
+        x = jnp.einsum("bhwc,hH->bHwc", x, mh, preferred_element_type=jnp.float32)
+        x = jnp.einsum(
+            "bHwc,wW->bHWc", x.astype(compute), mw, preferred_element_type=jnp.float32
+        ).astype(compute)
     if bgr_to_rgb:
         x = x[..., ::-1]
     x = jnp.pad(
