@@ -75,6 +75,7 @@ def oracle_fix(class_list, prob_list, class_index):
 
 @pytest.mark.parametrize("trial", range(30))
 def test_find_insert_start_matches_oracle(trial):
+    rng = np.random.default_rng(1000 + trial)  # per-trial: reproducible alone
     n = int(rng.integers(5, 120))
     wnd = int(rng.integers(10, 41))
     classes = rng.integers(0, 2, size=n).tolist()
@@ -92,6 +93,7 @@ def test_find_insert_start_clean_transition():
 
 @pytest.mark.parametrize("trial", range(30))
 def test_fix_class_prob_matches_oracle(trial):
+    rng = np.random.default_rng(2000 + trial)  # per-trial: reproducible alone
     n = int(rng.integers(1, 60))
     idx = int(rng.integers(0, n))
     classes = rng.integers(0, 2, size=n).tolist()
@@ -118,8 +120,12 @@ def _scenario(n=120, start=60, fps=30.0, drop_rate=0.02):
 def test_state_machine_basic_speed():
     classes, lens, detected, start, fps = _scenario()
     res = insertion_state_machine(classes, lens, detected, start, fps)
-    assert res.end_frame is not None and res.end_frame > start
-    # 2mm at calibration ~100px → shrink of ~10px ≈ frame start + ~15
+    # the scenario shrinks ~0.678 px/frame from a ~100 px calibration (20 mm),
+    # so the 2 mm (≈10 px) threshold lands ~15 frames after start — pin the
+    # DETECTED interval, not just the speed formula (which the implementation
+    # guarantees by construction)
+    assert res.end_frame is not None
+    assert start + 12 <= res.end_frame <= start + 19, res.end_frame
     assert res.speed_mm_s == pytest.approx(
         2.0 / ((res.end_frame - start) / fps), rel=1e-6
     )
@@ -127,6 +133,7 @@ def test_state_machine_basic_speed():
 
 @pytest.mark.parametrize("trial", range(10))
 def test_state_machine_jax_matches_host(trial):
+    rng = np.random.default_rng(3000 + trial)  # per-trial: reproducible alone
     n = int(rng.integers(30, 150))
     start = int(rng.integers(0, n))
     classes = rng.integers(0, 2, size=n).tolist()

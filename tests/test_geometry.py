@@ -11,6 +11,7 @@ rng = np.random.default_rng(1)
 
 @pytest.mark.parametrize("trial", range(20))
 def test_min_rect_len_matches_cv2(trial):
+    rng = np.random.default_rng(100 + trial)  # per-trial: reproducible alone
     n = rng.integers(3, 40)
     pts = rng.uniform(0, 500, size=(n, 2)).astype(np.float32)
     ours_len, ours_ratio = geometry.min_rect_len(pts)

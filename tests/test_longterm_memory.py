@@ -65,4 +65,6 @@ def test_step_accumulates_usage_and_reads_longterm():
     for i in range(4):  # mem_every=1, ring of 2 → consolidation must fire
         t.step(rng.integers(0, 255, (64, 64, 3), np.uint8))
     assert bool(np.asarray(t.memory.lt_valid).any()), "long-term bank never filled"
-    assert float(np.asarray(t.memory.usage).sum()) >= 0
+    # readout with engaged memory must have ACCUMULATED attention usage — the
+    # signal the top-usage consolidation ranking depends on (>= 0 was vacuous)
+    assert float(np.asarray(t.memory.usage).sum()) > 0

@@ -19,6 +19,7 @@ rng = np.random.default_rng(3)
 
 @pytest.mark.parametrize("trial", range(10))
 def test_native_min_area_rect_matches_cv2(trial):
+    rng = np.random.default_rng(500 + trial)  # per-trial: reproducible alone
     n = int(rng.integers(3, 50))
     pts = rng.uniform(0, 300, size=(n, 2)).astype(np.int32)
     res = min_area_rect_native(pts.astype(np.float64))

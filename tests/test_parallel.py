@@ -82,10 +82,15 @@ def test_trainer_resume_and_ema(tmp_path):
     restored = Trainer.load_checkpoint(path)
     assert restored["step"] == 1
     assert "ema_params" in restored
-    # ema differs from params after one step (decay ramp ≈ 0 → ema ≈ init params)
-    p0 = jax.tree.leaves(state.params)[0]
-    e0 = jax.tree.leaves(state.ema_params)[0]
-    assert p0.shape == e0.shape
+    # EMA actually updated: at step 1 the ramp decay d ≈ 0.0005, so the EMA
+    # must have moved from its init copy and lie close to the NEW params
+    p_new = np.concatenate([np.ravel(x) for x in jax.tree.leaves(state.params)])
+    e_new = np.concatenate([np.ravel(x) for x in jax.tree.leaves(state.ema_params)])
+    e_init = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(tr.init_state(batch).ema_params)]
+    )
+    assert np.abs(e_new - e_init).max() > 0          # moved off the init copy
+    assert np.abs(e_new - p_new).max() < 1e-2        # ≈ current params at d≈0
     # SGD momentum buffers survive the round trip (resume must not reset them)
     assert restored.get("opt_state") is not None
 

@@ -60,9 +60,11 @@ def test_pipeline_empty(pipeline):
 
 
 def test_pipeline_fallback_box_chain(pipeline):
-    # all-black frames: with conf=0.99 nothing is detected → full-frame fallback
+    # conf=1.0 guarantees zero detections (sigmoid scores are < 1), so the
+    # fallback contract is asserted UNCONDITIONALLY — a conditional on
+    # detections would silently skip all assertions on a lucky random init
     frames = [np.zeros((96, 128, 3), np.uint8) for _ in range(5)]
-    out = pipeline.process_frames(frames, fps=30.0, conf=0.999, judge_wnd=3)
-    if not any(out.detected):
-        assert out.boxes[0] == (0, 0, 128, 96)
-        assert out.lens == [0.0] * 5
+    out = pipeline.process_frames(frames, fps=30.0, conf=1.0, judge_wnd=3)
+    assert not any(out.detected)
+    assert out.boxes[0] == (0, 0, 128, 96)
+    assert out.lens == [0.0] * 5

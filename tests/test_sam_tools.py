@@ -64,7 +64,8 @@ def test_video_tools_roundtrip(tmp_path):
     m = frames2video(str(tmp_path / "frames"), str(tmp_path / "rebuilt.mp4"))
     assert m == 4
     lo, hi = calculate_speed(10, 20, 40, 30, 2)
-    assert lo == pytest.approx(2.0), hi
+    assert lo == pytest.approx(2.0)
+    assert hi == pytest.approx(6.0)  # 2mm over the 10-frame (1/3 s) min interval
     assert two_point_distance((0, 0), (3, 4)) == 5.0
 
 

@@ -27,7 +27,11 @@ def _disk_mask(h=64, w=96, cy=32, cx=40, r=12):
     return ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r).astype(np.int32)
 
 
-def test_step_before_any_detection_is_background(tracker):
+def test_step_before_any_detection_is_background():
+    # fresh core, NOT the shared module fixture: later tests incorporate
+    # objects into the fixture, and this test's "nothing tracked" assertion
+    # must not depend on execution order
+    tracker = TrackerCore(image_size=(64, 96), max_objects=4, mem_frames=4, mem_every=2)
     prob = tracker.step(_frame(0))
     assert prob.shape == (5, 64, 96)  # bg + max_objects
     np.testing.assert_allclose(prob.sum(0), 1.0, atol=1e-4)
@@ -233,10 +237,12 @@ def test_windowed_propagation_quality():
         os.path.dirname(__file__), "..", "resources", "weights",
         "tracker_propagation.msgpack",
     )
+    if not os.path.exists(ckpt):
+        pytest.skip("shipped tracker checkpoint not present")
     h, w, W = 64, 96, 4
     core = TrackerCore(
         image_size=(h, w), max_objects=4, mem_frames=4, mem_every=W,
-        variables=ckpt if os.path.exists(ckpt) else None,
+        variables=ckpt,
     )
 
     @jax.jit

@@ -79,12 +79,15 @@ def test_one_train_step_reduces_loss_or_runs():
     tr = Trainer(model, nc=1, imgsz=64, lr0=0.005, total_steps=10, warmup_steps=0)
     batch = _tiny_batch()
     state = tr.init_state(batch)
+    # snapshot BEFORE train_step: the step donates its input state buffers
+    before = np.concatenate([np.ravel(np.asarray(x)) for x in jax.tree.leaves(state.params)])
     state1, m1 = tr.train_step(state, batch)
     state2, m2 = tr.train_step(state1, batch)
     assert int(state2.step) == 2
     assert np.isfinite(float(m2["total"]))
-    # params actually changed
-    a = jax.tree.leaves(state.params)[0] if False else None
+    # params actually changed (a dropped apply_updates would keep them equal)
+    after = np.concatenate([np.ravel(np.asarray(x)) for x in jax.tree.leaves(state2.params)])
+    assert np.abs(before - after).max() > 0
     assert float(m1["lr"]) >= 0
 
 

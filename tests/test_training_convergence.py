@@ -117,15 +117,8 @@ def test_classifier_timm_key_conversion():
         "bn1.running_var": np.full((k.shape[3],), 4.0, np.float32),
         "classifier.weight": np.ones((2, fc.shape[0]), np.float32) * 5,
         "classifier.bias": np.array([1.0, 2.0], np.float32),
-        "blocks.1.0.conv_pw.weight": np.ones(
-            np.asarray(template["params"]["blocks_1_0"]["conv_pw"]["kernel"]).shape[
-                ::-1
-            ][:2]
-            + np.asarray(template["params"]["blocks_1_0"]["conv_pw"]["kernel"]).shape[:2][::-1],
-            np.float32,
-        ).transpose(0, 1, 2, 3),
     }
-    # fix blocks key shape properly: torch (O, I, kh, kw)
+    # blocks key in torch layout (O, I, kh, kw)
     pw = np.asarray(template["params"]["blocks_1_0"]["conv_pw"]["kernel"])  # (1,1,I,O)
     sd["blocks.1.0.conv_pw.weight"] = np.ones((pw.shape[3], pw.shape[2], 1, 1), np.float32) * 7
 
