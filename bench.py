@@ -67,6 +67,7 @@ def main():
                 from yolo_puncture_tpu.track.core import TrackerCore
 
                 shared = os.environ.get("BENCH_SHARED", "1") != "0"
+                int8_mem = os.environ.get("BENCH_INT8", "0") != "0"
                 # reference DEVA geometry: min-side 480 at the 720p source
                 # aspect, /16-padded → (480, 864).  A 480² square would do
                 # ~2× less readout work than the reference stage.
@@ -75,6 +76,7 @@ def main():
                     max_objects=4, mem_frames=8,
                     mem_every=4, enable_long_term=False, dtype=jnp.bfloat16,
                     subpix_tail=True, pyramid_adapter=shared,
+                    quantized_memory=int8_mem,
                 )
                 mem = core.memory._replace(active=core.memory.active.at[0].set(True))
             else:

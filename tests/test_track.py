@@ -419,3 +419,65 @@ def test_fused_bench_assembly_cpu():
     assert ids.shape == (4, 8, 12)  # stride-4 grid of the (32, 48) tracker
     assert np.asarray(mem2.frame_idx) == 4
     assert np.isfinite(np.asarray(mem2.keys)).all()
+
+
+def test_quantized_memory_matches_fp_readout():
+    """int8 ring readout ≈ fp readout on identical content (unit-level)."""
+    import jax.numpy as jnp
+    from yolo_puncture_tpu.track.network import (
+        memory_readout_dense,
+        memory_readout_dense_int8,
+    )
+
+    rng = np.random.default_rng(0)
+    T, HW, Ck, No, Cv, Q = 3, 24, 64, 2, 32, 24
+    keys = rng.normal(size=(T, HW, Ck)).astype(np.float32)
+    vals = rng.normal(size=(No, T, HW, Cv)).astype(np.float32)
+    q = rng.normal(size=(Q, Ck)).astype(np.float32)
+    valid = np.array([True, True, False])
+
+    ref = memory_readout_dense(
+        jnp.asarray(q), jnp.asarray(keys.reshape(T * HW, Ck)),
+        jnp.asarray(vals.reshape(No, T * HW, Cv)),
+        jnp.asarray(np.repeat(valid, HW)),
+    )
+    ks = np.abs(keys).max(axis=(1, 2)) / 127.0
+    ki8 = np.clip(np.round(keys / np.maximum(ks, 1e-8)[:, None, None]), -127, 127)
+    vs = np.abs(vals).max(axis=(2, 3)) / 127.0
+    vi8 = np.clip(np.round(vals / np.maximum(vs, 1e-8)[:, :, None, None]), -127, 127)
+    got = memory_readout_dense_int8(
+        jnp.asarray(q), jnp.asarray(ki8, np.int8), jnp.asarray(ks),
+        jnp.asarray(vi8, np.int8), jnp.asarray(vs), jnp.asarray(valid),
+    )
+    # int8 quantization error on softmax attention: small but nonzero
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05)
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_quantized_core_step_and_window():
+    """int8-ring TrackerCore: per-frame and windowed paths agree with the fp
+    core's outputs on the same inputs (random weights, structural check)."""
+    fp = TrackerCore(image_size=(64, 96), max_objects=2, mem_frames=4,
+                     mem_every=2, enable_long_term=False)
+    q8 = TrackerCore(image_size=(64, 96), max_objects=2, mem_frames=4,
+                     mem_every=2, enable_long_term=False, quantized_memory=True,
+                     variables=fp.variables)
+    assert str(np.asarray(q8.memory.keys).dtype) == "int8"
+    mask = _disk_mask()
+    p_fp = fp.incorporate_detection(_frame(0), mask, [ObjectInfo(id=1)])
+    p_q8 = q8.incorporate_detection(_frame(0), mask, [ObjectInfo(id=1)])
+    np.testing.assert_allclose(p_q8, p_fp, atol=0.05)
+    s_fp = fp.step(_frame(1))
+    s_q8 = q8.step(_frame(1))
+    np.testing.assert_allclose(s_q8, s_fp, atol=0.08)
+    # windowed batch path (the bench configuration) runs and stays in sync
+    out = q8.step_batch([_frame(2), _frame(3)])
+    assert out.shape == (2, 3, 64, 96)
+    np.testing.assert_allclose(out.sum(1), 1.0, atol=1e-3)
+
+
+def test_quantized_memory_rejects_long_term():
+    with pytest.raises(ValueError):
+        TrackerCore(image_size=(64, 96), max_objects=2, mem_frames=4,
+                    enable_long_term=True, quantized_memory=True)

@@ -34,6 +34,7 @@ from yolo_puncture_tpu.track.network import (
     PropagationNetwork,
     SENSORY_DIM,
     memory_readout_dense,
+    memory_readout_dense_int8,
     soft_aggregate,
 )
 
@@ -140,8 +141,16 @@ class TrackerCore:
         flash_readout: bool = False,
         pyramid_adapter: bool = False,
         pyramid_channels=(128, 256, 512),
+        quantized_memory: bool = False,
     ):
         self.subpix_tail = bool(subpix_tail)
+        # int8 working ring: keys/values stored s8 with per-slot scales; both
+        # readout matmuls run s8xs8->s32 on the MXU (validated -0.0001 IoU on
+        # the shipped checkpoint).  The long-term prototype bank has no int8
+        # path, so quantized memory requires enable_long_term=False.
+        self.quantized_memory = bool(
+            (config or {}).get("quantized_memory", quantized_memory)
+        )
         # Pallas flash readout: streams the value bank instead of materializing
         # the (Q, M) affinity; no attention-usage signal, so it requires the
         # long-term consolidation path (which consumes usage) to be off.
@@ -194,9 +203,15 @@ class TrackerCore:
         self.variables = variables
         # memory lives in the compute dtype (bf16 halves readout-matmul cost and
         # HBM traffic; softmax statistics stay fp32 inside the readout)
+        if self.quantized_memory and self.enable_long_term:
+            raise ValueError(
+                "quantized_memory requires enable_long_term=False (the "
+                "long-term prototype bank has no int8 readout path)"
+            )
         self.memory: MemoryState = init_memory(
             self.h16, self.w16, max_objects, mem_frames, dtype,
             num_prototypes=lt_capacity, value_dim=self.net.value_dim,
+            quantized=self.quantized_memory,
         )
         self.object_manager = ObjectManager(max_objects)
         # object deletion after consecutive missed detections (DEVA
@@ -233,6 +248,13 @@ class TrackerCore:
         accumulates attention usage on the working entries (consolidation signal)."""
         q = key.reshape(-1, key.shape[-1])
         T, HW = memory.keys.shape[:2]
+        if self.quantized_memory:
+            readout, usage = memory_readout_dense_int8(
+                q, memory.keys, memory.k_scale, memory.values, memory.v_scale,
+                memory.valid, out_dtype=self.dtype, return_usage=True,
+            )
+            memory = memory._replace(usage=memory.usage + usage)
+            return readout.reshape(self.max_objects, self.h16, self.w16, -1), memory
         mem_keys = jnp.concatenate(
             [memory.keys.reshape(T * HW, -1), memory.lt_keys], axis=0
         )
@@ -262,6 +284,16 @@ class TrackerCore:
         w = keys_w.shape[0]
         q = keys_w.reshape(w * self.h16 * self.w16, keys_w.shape[-1])
         T, HW = memory.keys.shape[:2]
+        if self.quantized_memory:
+            readout, usage = memory_readout_dense_int8(
+                q, memory.keys, memory.k_scale, memory.values, memory.v_scale,
+                memory.valid, out_dtype=self.dtype, return_usage=True,
+            )
+            memory = memory._replace(usage=memory.usage + usage)
+            readout = readout.reshape(
+                self.max_objects, w, self.h16, self.w16, -1
+            ).transpose(1, 0, 2, 3, 4)
+            return readout, memory
         mem_keys = jnp.concatenate(
             [memory.keys.reshape(T * HW, -1), memory.lt_keys], axis=0
         )

@@ -22,8 +22,8 @@ from yolo_puncture_tpu.track.network import KEY_DIM, SENSORY_DIM, VALUE_DIM
 
 
 class MemoryState(NamedTuple):
-    keys: jax.Array       # (T, HW, Ck)   — working (mid-term) ring
-    values: jax.Array     # (No, T, HW, Cv)
+    keys: jax.Array       # (T, HW, Ck)   — working (mid-term) ring (fp or int8)
+    values: jax.Array     # (No, T, HW, Cv)                         (fp or int8)
     valid: jax.Array      # (T,) bool — slot filled
     write_pos: jax.Array  # () int32 — next ring slot
     usage: jax.Array      # (T, HW) fp32 — accumulated attention mass per element
@@ -34,6 +34,8 @@ class MemoryState(NamedTuple):
     sensory: jax.Array    # (No, H16, W16, Cs)
     active: jax.Array     # (No,) bool — object slot in use
     frame_idx: jax.Array  # () int32
+    k_scale: jax.Array    # (T,) fp32 — per-slot int8 key scales (0 when fp)
+    v_scale: jax.Array    # (No, T) fp32 — per-object-slot int8 value scales
 
 
 def init_memory(
@@ -44,11 +46,16 @@ def init_memory(
     dtype=jnp.float32,
     num_prototypes: int = 128,
     value_dim: int = VALUE_DIM,
+    quantized: bool = False,
 ) -> MemoryState:
+    """``quantized=True`` stores the working ring as int8 with per-slot scales
+    (half the HBM of bf16, s8 MXU matmuls in the readout); the long-term bank
+    stays in ``dtype`` (TrackerCore forbids long-term + quantized)."""
     hw = h16 * w16
+    ring_dtype = jnp.int8 if quantized else dtype
     return MemoryState(
-        keys=jnp.zeros((mem_frames, hw, KEY_DIM), dtype),
-        values=jnp.zeros((max_objects, mem_frames, hw, value_dim), dtype),
+        keys=jnp.zeros((mem_frames, hw, KEY_DIM), ring_dtype),
+        values=jnp.zeros((max_objects, mem_frames, hw, value_dim), ring_dtype),
         valid=jnp.zeros((mem_frames,), bool),
         write_pos=jnp.zeros((), jnp.int32),
         usage=jnp.zeros((mem_frames, hw), jnp.float32),
@@ -59,6 +66,8 @@ def init_memory(
         sensory=jnp.zeros((max_objects, h16, w16, SENSORY_DIM), dtype),
         active=jnp.zeros((max_objects,), bool),
         frame_idx=jnp.zeros((), jnp.int32),
+        k_scale=jnp.zeros((mem_frames,), jnp.float32),
+        v_scale=jnp.zeros((max_objects, mem_frames), jnp.float32),
     )
 
 
@@ -103,8 +112,25 @@ def consolidate(state: MemoryState, n_move: int, do_it) -> MemoryState:
 def write_memory(
     state: MemoryState, key_flat: jax.Array, value_flat: jax.Array, do_write
 ) -> MemoryState:
-    """Conditionally write (key, value) into the ring slot at write_pos."""
+    """Conditionally write (key, value) into the ring slot at write_pos.
+
+    With an int8 ring (init_memory(quantized=True)) the fp inputs are
+    symmetrically quantized here — once per write, amortized over every
+    readout that touches the slot — and the per-slot scales stored alongside.
+    """
     pos = state.write_pos
+    k_scale, v_scale = state.k_scale, state.v_scale
+    if state.keys.dtype == jnp.int8:
+        kf = key_flat.astype(jnp.float32)
+        ks = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-8) / 127.0
+        key_flat = jnp.clip(jnp.round(kf / ks), -127, 127).astype(jnp.int8)
+        vf = value_flat.astype(jnp.float32)               # (No, HW, Cv)
+        vs = jnp.maximum(jnp.max(jnp.abs(vf), axis=(1, 2)), 1e-8) / 127.0
+        value_flat = jnp.clip(
+            jnp.round(vf / vs[:, None, None]), -127, 127
+        ).astype(jnp.int8)
+        k_scale = jnp.where(do_write, k_scale.at[pos].set(ks), k_scale)
+        v_scale = jnp.where(do_write, v_scale.at[:, pos].set(vs), v_scale)
     keys = jnp.where(
         do_write, state.keys.at[pos].set(key_flat), state.keys
     )
@@ -115,7 +141,10 @@ def write_memory(
     write_pos = jnp.where(
         do_write, (pos + 1) % state.keys.shape[0], pos
     ).astype(jnp.int32)
-    return state._replace(keys=keys, values=values, valid=valid, write_pos=write_pos)
+    return state._replace(
+        keys=keys, values=values, valid=valid, write_pos=write_pos,
+        k_scale=k_scale, v_scale=v_scale,
+    )
 
 
 def engaged(state: MemoryState) -> jax.Array:
