@@ -87,10 +87,14 @@ def main():
             print(f"# tracker disabled: {e}", file=sys.stderr)
             track_fn = core = None
 
+    int8_det = os.environ.get("BENCH_INT8_DET", "0") != "0"
+    from yolo_puncture_tpu.nn.quant import int8_convs
+
     @jax.jit
     def det_step(variables, frames_u8, conf, chk):
         imgs, r, pad = letterbox(frames_u8, imgsz, dtype=jnp.bfloat16, bgr_to_rgb=True)
-        out = model.apply(variables, imgs)
+        with int8_convs(int8_det):
+            out = model.apply(variables, imgs)
         det = select_detections(out, nms_free=True, conf_thres=conf, max_det=8)
         masks = decode_masks(
             out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],
@@ -132,7 +136,8 @@ def main():
             imgs, r, pad = letterbox(
                 frames_u8, imgsz, dtype=jnp.bfloat16, bgr_to_rgb=True
             )
-            out = model.apply(variables, imgs)
+            with int8_convs(int8_det):
+                out = model.apply(variables, imgs)
             det = select_detections(out, nms_free=True, conf_thres=conf, max_det=8)
             masks = decode_masks(
                 out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],

@@ -62,6 +62,7 @@ class YOLO:
         max_det: int = 300,
         max_masks: int = 32,
         seed: int = 0,
+        int8_serving: bool = False,
     ):
         self.weights_path = str(weights)
         version, scale, task = parse_model_name(self.weights_path)
@@ -70,6 +71,9 @@ class YOLO:
         self.names = names or {i: f"class{i}" for i in range(nc)}
         self.max_det = max_det
         self.max_masks = max_masks
+        # int8 conv serving (nn/quant.py): s8 MXU convs inside the fused
+        # pipeline; validate accuracy on your fine-tuned weights before use
+        self.int8_serving = bool(int8_serving)
         self.model = YOLOModel(version=version, scale=scale, nc=nc, task=task, dtype=dtype)
         self.variables = self._load_variables(seed)
         self._compiled: Dict[Tuple, Any] = {}
@@ -108,6 +112,7 @@ class YOLO:
         model = self.model
         max_det, max_masks = self.max_det, self.max_masks
         task = self.task
+        int8 = self.int8_serving
         # static letterbox geometry for this (h0, w0, imgsz) — identical to the
         # values letterbox() derives inside `run`; shared with _paste/overflow
         r, _, pad = letterbox_params(h0, w0, imgsz)
@@ -117,7 +122,10 @@ class YOLO:
             # BGR (cv2 convention, reference passes cv2 frames) → RGB on device,
             # folded into letterbox after the downscale (≈4× less traffic)
             imgs, _r, _pad = letterbox(frames_u8, imgsz, dtype=model.dtype, bgr_to_rgb=True)
-            out = model.apply(variables, imgs)
+            from yolo_puncture_tpu.nn.quant import int8_convs
+
+            with int8_convs(int8):
+                out = model.apply(variables, imgs)
             det = select_detections(
                 out, nms_free=nms_free, conf_thres=conf, iou_thres=iou, max_det=max_det
             )
