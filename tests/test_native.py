@@ -97,3 +97,14 @@ def test_native_contour_serpentine_not_truncated():
 def test_native_rle_empty_and_full():
     assert rle_encode_native(np.zeros((4, 4), np.uint8)) == []
     assert rle_encode_native(np.ones(5, np.uint8)) == [1, 5]
+
+
+def test_native_contour_start_pixel_cut_vertex():
+    """Jacob stopping criterion: a boundary that passes through the start
+    pixel twice (thin spur at the topmost-leftmost pixel) must not truncate
+    (reproduced defect: a 2-point contour omitting the spur)."""
+    mask = np.zeros((3, 4), np.uint8)
+    mask[0, 1] = mask[0, 2] = mask[1, 0] = 1
+    c = largest_contour_native(mask)
+    pts = set(map(tuple, c.tolist()))
+    assert {(1, 0), (2, 0), (0, 1)} <= pts, pts  # all three pixels present (xy)

@@ -330,12 +330,26 @@ class SamAutomaticMaskGenerator:
     def _box_nms(cands, thresh):
         """Greedy box-NMS over (mask, score, payload) triples, highest score
         first; returns kept (mask, score, payload, box) tuples."""
-        kept, boxes = [], []
-        for m, score, payload in sorted(cands, key=lambda t: -t[1]):
+        items = []
+        for m, score, payload in cands:
             ys, xs = np.where(m)
             if len(xs) == 0:
                 continue
             box = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+            items.append((box, score, (m, payload)))
+        return [
+            (m, score, payload, box)
+            for box, score, (m, payload) in SamAutomaticMaskGenerator._nms_on_boxes(
+                items, thresh
+            )
+        ]
+
+    @staticmethod
+    def _nms_on_boxes(items, thresh):
+        """Greedy NMS over (box, score, payload) with PRECOMPUTED boxes —
+        no per-candidate mask scans."""
+        kept, boxes = [], []
+        for box, score, payload in sorted(items, key=lambda t: -t[1]):
             dup = False
             for kb in boxes:
                 ix1, iy1 = max(box[0], kb[0]), max(box[1], kb[1])
@@ -352,7 +366,7 @@ class SamAutomaticMaskGenerator:
             if dup:
                 continue
             boxes.append(box)
-            kept.append((m, score, payload, box))
+            kept.append((box, score, payload))
         return kept
 
     def generate(self, image: np.ndarray) -> List[Dict]:
@@ -413,24 +427,29 @@ class SamAutomaticMaskGenerator:
                     cand_masks.append(m > 0)
                     cand_scores.append(score)
 
-            # dedupe by box NMS within the crop
-            for m, score, _payload, _box in self._box_nms(
+            # dedupe by box NMS within the crop (crop-res masks — cheap scans)
+            for m, score, _payload, box in self._box_nms(
                 [(m, sc, None) for m, sc in zip(cand_masks, cand_scores)],
                 self.box_nms_thresh,
             ):
                 # paste the crop-resolution mask back into full-frame coords
+                mh, mw = m.shape
                 seg_crop = cv2.resize(
                     m.astype(np.uint8), (cw, ch), interpolation=cv2.INTER_NEAREST
                 ).astype(bool)
                 seg = np.zeros((h, w), bool)
                 seg[cy1:cy2, cx1:cx2] = seg_crop
-                all_cands.append((seg, score, (cx1, cy1, cx2, cy2)))
+                # full-frame box from the ALREADY-computed crop-space box —
+                # the cross-crop NMS below must not rescan (h, w) masks
+                fbox = (
+                    cx1 + box[0] * cw / mw, cy1 + box[1] * ch / mh,
+                    cx1 + box[2] * cw / mw, cy1 + box[3] * ch / mh,
+                )
+                all_cands.append((fbox, score, (seg, (cx1, cy1, cx2, cy2))))
 
-        # cross-crop dedupe (upstream crop_nms): full-frame box NMS over crops
-        kept = self._box_nms(
-            [(m, sc, cb) for m, sc, cb in all_cands], self.box_nms_thresh
-        )
-        for seg, score, crop_box, _box in kept:
+        # cross-crop dedupe (upstream crop_nms): box-only NMS, no mask scans
+        kept = self._nms_on_boxes(all_cands, self.box_nms_thresh)
+        for _fbox, score, (seg, crop_box) in kept:
             ys, xs = np.where(seg)
             if len(xs) == 0:
                 continue

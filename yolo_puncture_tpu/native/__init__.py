@@ -96,18 +96,21 @@ def largest_contour_native(mask: np.ndarray) -> Optional[np.ndarray]:
         return None
     m = np.ascontiguousarray((mask > 0).astype(np.uint8))
     h, w = m.shape
-    # Moore tracing can visit a boundary pixel up to 4 times on 1-px-wide
-    # spurs, and serpentine shapes have O(h·w) boundary pixels — size for the
-    # worst case; the C side returns -2 rather than truncating silently
-    max_pts = 4 * h * w + 16
-    out = np.zeros((max_pts, 2), np.int32)
-    n = lib.largest_contour(
-        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_pts,
-    )
-    if n < 0:
-        return None
-    return out[:n].copy()
+    # two-step buffer: real contours are O(perimeter), so try a small buffer
+    # first; only serpentine worst cases (O(h·w) boundary, C side answers -2
+    # rather than truncating silently) pay the big retry — this keeps a ~30 MB
+    # zero-fill out of the per-frame hot path
+    for max_pts in (8 * (h + w) + 16, 4 * h * w + 16):
+        out = np.empty((max_pts, 2), np.int32)
+        n = lib.largest_contour(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_pts,
+        )
+        if n >= 0:
+            return out[:n].copy()
+        if n != -2:
+            return None
+    return None
 
 
 def rle_encode_native(mask: np.ndarray) -> Optional[list]:

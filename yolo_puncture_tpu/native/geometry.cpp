@@ -132,27 +132,38 @@ int64_t largest_contour(const uint8_t* mask, int64_t h, int64_t w,
             if (!mask[idx] || visited[idx]) continue;
             // first scan-order pixel of a new component → on its outer border
 
-            // Moore trace from (y, x)
+            // Moore trace from (y, x), Jacob's stopping criterion: terminate
+            // when the trace would LEAVE the start pixel in the same direction
+            // as the initial move.  Stopping at the first mere return to the
+            // start would truncate contours whose boundary passes through the
+            // start pixel more than once (start pixel = cut vertex, e.g. a
+            // thin spur attached at the topmost-leftmost pixel).
             cur.clear();
             int64_t cy = y, cx = x;
             int dir = 7;  // start search from NW-ish like classic tracing
+            int first_dir = -1;
             cur.push_back((int32_t)cx); cur.push_back((int32_t)cy);
             const int64_t limit = 4 * h * w;
             for (int64_t steps = 0; steps < limit; ++steps) {
                 bool found = false;
+                int d = 0;
                 int start = (dir + 6) % 8;  // backtrack then clockwise
                 for (int t = 0; t < 8; ++t) {
-                    int d = (start + t) % 8;
+                    d = (start + t) % 8;
                     int64_t ny = cy + dy8[d], nx = cx + dx8[d];
                     if (ny >= 0 && ny < h && nx >= 0 && nx < w &&
                         mask[ny * w + nx]) {
-                        cy = ny; cx = nx; dir = d; found = true;
+                        found = true;
                         break;
                     }
                 }
                 if (!found) break;  // isolated pixel
-                if (cy == y && cx == x) break;  // closed loop
-                cur.push_back((int32_t)cx); cur.push_back((int32_t)cy);
+                if (cy == y && cx == x && d == first_dir) break;  // Jacob stop
+                cy += dy8[d]; cx += dx8[d]; dir = d;
+                if (first_dir < 0) first_dir = d;
+                if (!(cy == y && cx == x)) {  // don't duplicate the start point
+                    cur.push_back((int32_t)cx); cur.push_back((int32_t)cy);
+                }
             }
             if ((int64_t)cur.size() / 2 > best_len) {
                 best_len = (int64_t)cur.size() / 2;

@@ -264,10 +264,12 @@ class VideoSpeedPipeline:
                 sub_boxes = [boxes[i] for i in idxs]
                 from yolo_puncture_tpu.utils.transform import crop_frames_batch
 
-                rgb = [f[..., ::-1] for f in sub_frames]
+                # crop first, flip channels on the 380^2 crops only (stacking/
+                # flipping whole frames would copy every dropout frame at full
+                # resolution — same fix as tasks/classify.py)
                 crops = crop_frames_batch(
-                    np.asarray(rgb), np.asarray(sub_boxes), self.classifier.input_size
-                )
+                    sub_frames, np.asarray(sub_boxes), self.classifier.input_size
+                )[..., ::-1]
                 c_idx, c_p = self.classifier.predict(crops)
                 for j, i in enumerate(idxs):
                     classes[i] = int(c_idx[j])

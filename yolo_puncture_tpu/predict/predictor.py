@@ -210,11 +210,15 @@ class YOLO:
             return _to_u8(arr), ""
 
         def _to_u8(arr):
+            """CONTRACT: float sources with max <= 1.0 are interpreted as
+            normalized [0, 1] frames (the torch-ecosystem convention and the
+            common frame/255. usage) and scaled by 255; float sources with
+            values above 1.0 are treated as 0-255 scale.  A genuinely
+            near-black 0-255-range float frame is indistinguishable from a
+            normalized one — pass uint8 to avoid the ambiguity."""
             if arr.dtype == np.uint8:
                 return arr
             a = arr.astype(np.float32)
-            # normalized-float frames (the common frame/255. usage) would
-            # truncate to all-zero under a bare astype(uint8)
             if np.issubdtype(arr.dtype, np.floating) and (a.size == 0 or a.max() <= 1.0):
                 a = a * 255.0
             return np.clip(np.rint(a), 0, 255).astype(np.uint8)

@@ -208,6 +208,12 @@ class TrackerCore:
                 "quantized_memory requires enable_long_term=False (the "
                 "long-term prototype bank has no int8 readout path)"
             )
+        if self.quantized_memory and self.flash_readout:
+            raise ValueError(
+                "quantized_memory and flash_readout are mutually exclusive "
+                "(the Pallas flash kernel has no int8 path; the int8 branch "
+                "would silently shadow the flag)"
+            )
         self.memory: MemoryState = init_memory(
             self.h16, self.w16, max_objects, mem_frames, dtype,
             num_prototypes=lt_capacity, value_dim=self.net.value_dim,

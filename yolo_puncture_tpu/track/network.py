@@ -461,18 +461,6 @@ def memory_readout_dense_int8(
     return out
 
 
-def quantize_symmetric_i8(x, axes):
-    """(int8 tensor, fp32 scale) with symmetric per-``axes``-reduced absmax."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=False)
-    s = jnp.maximum(amax, 1e-8) / 127.0
-    sk = jnp.expand_dims(s, axes) if isinstance(axes, int) else s.reshape(
-        tuple(1 if i in axes else d for i, d in enumerate(x.shape))
-    )
-    xi8 = jnp.clip(jnp.round(xf / sk), -127, 127).astype(jnp.int8)
-    return xi8, s
-
-
 def _subpix_up_weights(K):
     """3×3 kernel (3, 3, Cin, Cout) → (3, 3, Cin, 4·Cout): the one-conv form of
     [nearest-neighbor 2× upsample → 3×3 stride-1 conv, pad 1].
