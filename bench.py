@@ -29,6 +29,7 @@ device (the fused pipeline consumes them on-device).
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -42,7 +43,45 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _bail(reason: str, code: int) -> None:
+    print(json.dumps({
+        "metric": "frames/sec/chip at 640x640 (YOLOv10-S seg+DEVA)",
+        "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+        "error": reason,
+    }), flush=True)
+    os._exit(code)
+
+
+def _probe_device(timeout_s: float = 180.0) -> None:
+    """The remote-TPU tunnel can hang indefinitely (accepts connections but
+    never answers — even ``jax.devices()`` blocks).  Probe a tiny computation
+    on a watchdog so the driver gets a clean error line instead of a hang."""
+    done = threading.Event()
+
+    def probe():
+        np.asarray(jnp.ones((4, 4)).sum())
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        _bail(f"device unreachable (probe hung > {timeout_s:.0f}s)", 2)
+
+
+def _global_watchdog(limit_s: float) -> None:
+    """If the tunnel dies mid-run every fetch hangs forever; bound the whole
+    bench.  Healthy runs (incl. ~5 min/program cold remote compiles) finish
+    well inside the default 45 min."""
+    def fire():
+        _bail(f"bench exceeded {limit_s:.0f}s (tunnel stall?)", 3)
+
+    t = threading.Timer(limit_s, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _probe_device(float(os.environ.get("BENCH_PROBE_TIMEOUT", "180")))
+    _global_watchdog(float(os.environ.get("BENCH_WATCHDOG_SECS", "2700")))
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))

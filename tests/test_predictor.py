@@ -48,6 +48,8 @@ def test_predict_batch_and_shape_grouping(tiny_predictor):
     results = tiny_predictor.predict(source=[a, b, c], conf=0.9, imgsz=64)
     assert len(results) == 3
     assert results[2].orig_shape == (48, 64)
+    # empty batch → empty results, no device call (ultralytics behavior)
+    assert tiny_predictor.predict(source=[], conf=0.9, imgsz=64) == []
 
 
 def test_predict_pil_and_plot(tiny_predictor):

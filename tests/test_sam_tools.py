@@ -63,6 +63,15 @@ def test_video_tools_roundtrip(tmp_path):
     assert (tmp_path / "frames" / "5frame_0.jpg").exists()
     m = frames2video(str(tmp_path / "frames"), str(tmp_path / "rebuilt.mp4"))
     assert m == 4
+    from tools.video_tools import extract_frames
+
+    k = extract_frames(str(vid), str(tmp_path / "extract"))
+    assert k == 4
+    # per-video subdir + same frame naming (extract_frames_from_video.py:29-36)
+    assert (tmp_path / "extract" / "5" / "5frame_3.jpg").exists()
+    with pytest.raises(ValueError):
+        extract_frames(str(tmp_path / "rebuilt.mp4"), str(tmp_path / "extract"))
+
     lo, hi = calculate_speed(10, 20, 40, 30, 2)
     assert lo == pytest.approx(2.0)
     assert hi == pytest.approx(6.0)  # 2mm over the 10-frame (1/3 s) min interval

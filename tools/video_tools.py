@@ -33,6 +33,22 @@ def video2frames(video_path: str, output_dir: str, prefix: Optional[str] = None)
     return count
 
 
+def extract_frames(video_path: str, output_directory: str) -> int:
+    """Per-video classifier-dataset extraction: frames land in a
+    ``{output_directory}/{video_no}/`` subdir with the same
+    '{video_no}frame_{i}.jpg' names (dev_tools/classify/
+    extract_frames_from_video.py:8-40 contract — requires a 'video<N>'
+    filename)."""
+    name = os.path.basename(video_path)
+    match = re.search(r"video(\d+)", name, re.IGNORECASE)
+    if match is None:
+        raise ValueError(f"cannot parse video number from {name!r}")
+    video_no = match.group(1)
+    return video2frames(
+        video_path, os.path.join(output_directory, video_no), prefix=video_no
+    )
+
+
 def frames2video(frames_dir: str, output_path: str, fps: float = 30.0) -> int:
     """Assemble numerically-sorted frames back into a video
     (dev_tools/video_tools/frames2video.py:8-26)."""
@@ -86,6 +102,9 @@ def main(argv=None):
     p1 = sub.add_parser("video2frames")
     p1.add_argument("video")
     p1.add_argument("outdir")
+    p1e = sub.add_parser("extract_frames")
+    p1e.add_argument("video")
+    p1e.add_argument("outdir")
     p2 = sub.add_parser("frames2video")
     p2.add_argument("framesdir")
     p2.add_argument("output")
@@ -99,6 +118,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.cmd == "video2frames":
         print(video2frames(args.video, args.outdir))
+    elif args.cmd == "extract_frames":
+        print(extract_frames(args.video, args.outdir))
     elif args.cmd == "frames2video":
         print(frames2video(args.framesdir, args.output, args.fps))
     else:

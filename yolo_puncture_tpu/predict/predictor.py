@@ -224,6 +224,8 @@ class YOLO:
             return np.clip(np.rint(a), 0, 255).astype(np.uint8)
 
         if isinstance(source, (list, tuple)):
+            if not source:  # empty batch → no results (ultralytics returns [])
+                return [], []
             frames, paths = zip(*[one(s) for s in source])
             return list(frames), list(paths)
         if isinstance(source, np.ndarray) and source.ndim == 4:
@@ -238,12 +240,16 @@ class YOLO:
         source=None,
         conf: float = 0.25,
         iou: float = 0.7,
-        imgsz: int = 640,
+        imgsz: Optional[int] = None,
         retina_masks: bool = False,
         device=None,  # accepted for API parity; placement is managed by JAX
         verbose: bool = False,
         **kwargs,
     ) -> List[Results]:
+        if imgsz is None:
+            # deployment knob: callers that never pass imgsz (e.g. reference
+            # user code running via the compat shims) can be resized globally
+            imgsz = int(os.environ.get("YPT_DEFAULT_IMGSZ", "640"))
         frames, paths = self._to_frames(source)
         results: List[Results] = []
         # group consecutive same-shape frames into device batches
