@@ -245,9 +245,13 @@ def main(argv=None):
     parser.add_argument("--batch_propagation", action="store_true",
                         help="batch propagation-only frames through the windowed "
                         "fast path (TrackerCore.step_batch)")
-    parser.add_argument("--align_voting", action="store_true",
+    parser.add_argument("--align_voting", nargs="?", const="affinity",
+                        default="off", choices=["off", "affinity", "propagate"],
                         help="project buffered detections into keyframe coords "
-                        "(key-affinity correspondence) before semionline voting")
+                        "before semionline voting: bare flag/'affinity' = "
+                        "single-hop key-affinity correspondence; 'propagate' = "
+                        "true backward propagation through the buffer (DEVA's "
+                        "mechanism)")
     args = parser.parse_args(argv)
 
     cfg = {
@@ -263,7 +267,7 @@ def main(argv=None):
         "num_prototypes": args.num_prototypes,
         "max_long_term_elements": args.max_long_term_elements,
         "max_missed_detection_count": args.max_missed_detection_count,
-        "align_voting": args.align_voting,
+        "align_voting": False if args.align_voting == "off" else args.align_voting,
         "video_name": args.video_name,
         "det_imgsz": args.imgsz,
     }

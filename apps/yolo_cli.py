@@ -133,10 +133,10 @@ def cmd_predict(kv):
 
 
 def cmd_export(kv):
-    """Export: msgpack / orbax params, torch-named state dict, or a serialized
-    StableHLO serving function (the TPU analog of the reference's onnx/engine
-    export — jax.export bundles graph + weights, reloadable without the model
-    code)."""
+    """Export: msgpack / orbax params, torch-named state dict, or a serving
+    GRAPH: serialized StableHLO (jax.export — the TPU analog of the
+    reference's onnx/engine export; graph + weights, reloadable without model
+    code), TF SavedModel (TF-Serving), or TFLite (edge) via jax2tf."""
     import jax
     import jax.numpy as jnp
     from flax import serialization
@@ -164,7 +164,7 @@ def cmd_export(kv):
         sd = export_yolo_state_dict(jax.device_get(det.variables))
         with open(out, "wb") as f:
             pickle.dump(sd, f)
-    elif fmt == "stablehlo":
+    elif fmt in ("stablehlo", "saved_model", "tflite"):
         imgsz = int(kv.get("imgsz", 640))
         variables = det.variables
 
@@ -180,13 +180,54 @@ def cmd_export(kv):
             return d["boxes"], d["scores"], d["classes"]
 
         B = int(kv.get("batch", 1))
-        exported = jax.export.export(jax.jit(serve))(
-            jax.ShapeDtypeStruct((B, imgsz, imgsz, 3), jnp.uint8)
-        )
-        with open(out, "wb") as f:
-            f.write(exported.serialize())
+        if fmt == "stablehlo":
+            exported = jax.export.export(jax.jit(serve))(
+                jax.ShapeDtypeStruct((B, imgsz, imgsz, 3), jnp.uint8)
+            )
+            with open(out, "wb") as f:
+                f.write(exported.serialize())
+        else:
+            # deployment analog of the reference's `yolo export format=onnx|engine`
+            # (README.md:138-163): SavedModel for TF-Serving, TFLite for edge
+            import tensorflow as tf
+            from jax.experimental import jax2tf
+
+            if fmt == "tflite" and det.version != "v10":
+                # the TFLite converter cannot legalize the mhlo.reduce inside
+                # batched NMS (v8/v11 postprocess); the NMS-free v10 graph
+                # converts and runs end-to-end under the TFLite interpreter
+                raise SystemExit(
+                    "format=tflite requires an NMS-free v10 model (the v8/v11 "
+                    "NMS reduction does not legalize to TFLite); use a yolo10* "
+                    "model or format=saved_model"
+                )
+            tf_fn = tf.function(
+                jax2tf.convert(serve, with_gradient=False),
+                input_signature=[
+                    tf.TensorSpec((B, imgsz, imgsz, 3), tf.uint8, name="frames")
+                ],
+                autograph=False,
+            )
+            if fmt == "saved_model":
+                module = tf.Module()
+                module.serve = tf_fn
+                tf.saved_model.save(module, out, signatures=module.serve)
+            else:
+                converter = tf.lite.TFLiteConverter.from_concrete_functions(
+                    [tf_fn.get_concrete_function()]
+                )
+                # XLA-lowered graphs use ops outside the TFLite builtin set
+                converter.target_spec.supported_ops = [
+                    tf.lite.OpsSet.TFLITE_BUILTINS,
+                    tf.lite.OpsSet.SELECT_TF_OPS,
+                ]
+                blob = converter.convert()
+                with open(out, "wb") as f:
+                    f.write(blob)
     else:
-        raise SystemExit(f"unknown format {fmt} (msgpack|orbax|torch|stablehlo)")
+        raise SystemExit(
+            f"unknown format {fmt} (msgpack|orbax|torch|stablehlo|saved_model|tflite)"
+        )
     print(f"exported to {out}")
     return out
 

@@ -43,11 +43,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Most recent value measured on the real chip (the axon tunnel has multi-hour
+# outages — memory/axon-tunnel-outages.md); reported alongside a bail so an
+# infra failure at bench time is distinguishable from a perf regression.
+# value/vs_baseline in the bail line stay 0.0: nothing was measured THIS run.
+LAST_MEASURED = {"fps": 1125.0, "date": "2026-08-18", "config": "fused+shared, batch 128"}
+
+
 def _bail(reason: str, code: int) -> None:
     print(json.dumps({
         "metric": "frames/sec/chip at 640x640 (YOLOv10-S seg+DEVA)",
         "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
         "error": reason,
+        "last_measured_on_chip": LAST_MEASURED,
     }), flush=True)
     os._exit(code)
 

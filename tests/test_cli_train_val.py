@@ -54,6 +54,56 @@ def test_export_msgpack(tmp_path):
     assert os.path.getsize(out) > 1e6  # ~3M params ≈ 13MB
 
 
+def test_export_saved_model_roundtrip(tmp_path):
+    """jax2tf SavedModel export reloads in TF and agrees with the JAX serve fn."""
+    tf = pytest.importorskip("tensorflow")
+
+    from apps.yolo_cli import main
+    from yolo_puncture_tpu.predict import YOLO
+
+    out = main([
+        "export", "model=yolov8n-seg", "format=saved_model",
+        "imgsz=64", "batch=1", f"output={tmp_path / 'sm'}",
+    ])
+    loaded = tf.saved_model.load(out)
+    frames = np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3), np.uint8)
+    boxes, scores, classes = loaded.serve(tf.constant(frames))
+    assert boxes.shape[0] == 1 and boxes.shape[-1] == 4
+    # parity with the in-framework predictor's selection on the same weights
+    det = YOLO("yolov8n-seg", nc=1)
+    ref = det.predict(frames[0], conf=0.25, imgsz=64)[0]
+    n = len(ref.boxes.conf)
+    got_scores = np.sort(np.asarray(scores)[0])[::-1]
+    if n:
+        np.testing.assert_allclose(
+            got_scores[:n], np.sort(np.asarray(ref.boxes.conf))[::-1], atol=1e-3
+        )
+
+
+def test_export_tflite_v10_and_v8_guard(tmp_path):
+    """TFLite export: NMS-free v10 converts and runs under the interpreter;
+    v8 (NMS reduce — not legalizable) fails with a clear error."""
+    tf = pytest.importorskip("tensorflow")
+
+    from apps.yolo_cli import main
+
+    out = main([
+        "export", "model=yolo10n-seg", "format=tflite",
+        "imgsz=64", "batch=1", f"output={tmp_path / 'y10n.tflite'}",
+    ])
+    ip = tf.lite.Interpreter(model_path=out)
+    ip.allocate_tensors()
+    ip.set_tensor(ip.get_input_details()[0]["index"], np.zeros((1, 64, 64, 3), np.uint8))
+    ip.invoke()
+    shapes = sorted(tuple(ip.get_tensor(d["index"]).shape) for d in ip.get_output_details())
+    assert (1, 300, 4) in shapes  # boxes (max_det=300)
+    with pytest.raises(SystemExit, match="NMS-free v10"):
+        main([
+            "export", "model=yolov8n-seg", "format=tflite",
+            "imgsz=64", "batch=1", f"output={tmp_path / 'y8n.tflite'}",
+        ])
+
+
 def test_predict_cmd(tmp_path):
     import cv2
 

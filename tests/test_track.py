@@ -341,6 +341,104 @@ def test_align_mask_to_follows_motion():
     assert (got & old).sum() <= inter, "alignment stuck at source location"
 
 
+def test_propagate_mask_backward_scratch_isolation(tracker):
+    """Backward projection runs on a SCRATCH memory: the tracker's own memory
+    state (the live video's) must be bit-identical before/after, and the
+    output honors the id-mask contract."""
+    import jax
+
+    before = jax.tree.map(np.asarray, tracker.memory)
+    frames = [_frame(40), _frame(41), _frame(42)]
+    mask = _disk_mask() * 3  # id 3, not 1: ids must be preserved, not renumbered
+    out = tracker.propagate_mask_backward(frames, mask)
+    assert out.shape == (64, 96)
+    assert set(np.unique(out)) <= {0, 3}
+    after = jax.tree.map(np.asarray, tracker.memory)
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(b, a)
+    # empty source mask short-circuits to an empty projection
+    empty = tracker.propagate_mask_backward(frames, np.zeros((64, 96), np.int32))
+    assert empty.sum() == 0
+
+
+def test_propagate_mask_backward_follows_motion():
+    """TRUE backward propagation (DEVA's voting alignment mechanism) carries a
+    detection from the last buffered frame back to keyframe coordinates,
+    tracking the object across intermediate positions."""
+    import os
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "resources", "weights",
+        "tracker_propagation.msgpack",
+    )
+    if not os.path.exists(ckpt):
+        pytest.skip("no shipped tracker checkpoint")
+    h, w = 64, 96
+    core = TrackerCore(image_size=(h, w), max_objects=4, mem_frames=4, variables=ckpt)
+    rng = np.random.default_rng(11)
+    xs = [8, 32, 56]  # bar slides right across the 3-frame buffer
+    frames = []
+    for x in xs:
+        f = (rng.uniform(0, 0.1, (h, w, 3)) * 255).astype(np.uint8)
+        f[20:44, x : x + 20] = 230
+        frames.append(f)
+    mask_src = np.zeros((h, w), np.int32)
+    mask_src[20:44, xs[-1] : xs[-1] + 20] = 1
+    projected = core.propagate_mask_backward(frames, mask_src)
+    gt = np.zeros((h, w), bool)
+    gt[20:44, xs[0] : xs[0] + 20] = True
+    got = projected == 1
+    inter = (got & gt).sum()
+    union = (got | gt).sum()
+    assert union > 0 and inter / union > 0.3, f"projected IoU {inter/max(union,1):.2f}"
+    # the source location must not dominate the projection
+    src_loc = np.zeros((h, w), bool)
+    src_loc[20:44, xs[-1] : xs[-1] + 20] = True
+    assert (got & src_loc).sum() <= inter, "projection stuck at source location"
+
+
+def test_voting_align_propagate_mode():
+    """align_voting='propagate' accepts a moving object that plain pixel
+    voting would reject (no stationary overlap across the buffer)."""
+    h, w = 64, 96
+    rng = np.random.default_rng(12)
+
+    def frame_with_bar(x):
+        f = (rng.uniform(0, 0.1, (h, w, 3)) * 255).astype(np.uint8)
+        f[20:44, x : x + 20] = 230
+        return f
+
+    def mask_with_bar(x):
+        m = np.zeros((h, w), np.int32)
+        m[20:44, x : x + 20] = 1
+        return m
+
+    import os
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "resources", "weights",
+        "tracker_propagation.msgpack",
+    )
+    if not os.path.exists(ckpt):
+        pytest.skip("no shipped tracker checkpoint")
+    core = TrackerCore(
+        image_size=(h, w), max_objects=4, mem_frames=4, variables=ckpt,
+        config={"align_voting": "propagate"},
+    )
+    xs = [8, 32, 56]
+    for ti, x in enumerate(xs):
+        fi = FrameInfo(
+            image=frame_with_bar(x), mask=mask_with_bar(x),
+            segments_info=[ObjectInfo(id=1)], ti=ti,
+            info={"frame": [f"f{ti}"]},
+        )
+        core.add_to_temporary_buffer(fi)
+    ti, mask, infos = core.vote_in_temporary_buffer("first")
+    assert ti == 0
+    assert len(infos) == 1 and infos[0].id == 1
+    assert (mask == 1).sum() > 0  # keyframe object survives the aligned vote
+
+
 def test_subpix_tail_matches_exact(tracker):
     """decode_tail_subpix (low-res parity-packed convs) must reproduce the exact
     decode_tail within fp tolerance (weights are reassociated, not changed)."""

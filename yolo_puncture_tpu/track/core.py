@@ -599,21 +599,69 @@ class TrackerCore:
 
         return upsample_bilinear_matmul(probs.astype(jnp.float32), h, w)
 
+    def _pack_id_mask(self, mask: np.ndarray):
+        """Integer id mask → (onehot (No, H, W) f32, valid (No,), ids list),
+        resized to self.image_size (nearest) if needed."""
+        import cv2
+
+        h, w = self.image_size
+        m = np.asarray(mask)
+        if m.shape != (h, w):
+            m = cv2.resize(m.astype(np.int32), (w, h), interpolation=cv2.INTER_NEAREST)
+        ids = [i for i in np.unique(m) if i != 0][: self.max_objects]
+        onehot = np.zeros((self.max_objects, h, w), np.float32)
+        valid = np.zeros((self.max_objects,), bool)
+        for j, i in enumerate(ids):
+            onehot[j] = m == i
+            valid[j] = True
+        return onehot, valid, m, ids
+
+    def propagate_mask_backward(
+        self, images: Sequence[np.ndarray], mask_src: np.ndarray,
+        conf: float = 0.5,
+    ) -> np.ndarray:
+        """Project ``mask_src`` (id mask in ``images[-1]`` coords) into
+        ``images[0]`` coords by TRUE backward propagation — DEVA's spatial
+        alignment mechanism (deva vote_in_temporary_buffer propagates each
+        buffered detection back to the keyframe before voting).
+
+        A SCRATCH memory (same pytree shapes as ``self.memory`` → the jitted
+        step/incorporate programs cache-hit) is seeded with the detection at
+        the last frame, then stepped through ``images[-2], …, images[0]``;
+        the probability emitted at ``images[0]`` is the detection expressed in
+        keyframe coordinates.  ``self.memory`` is untouched.
+        """
+        assert len(images) >= 2, "need [dst, …, src] with at least two frames"
+        onehot, valid, m, ids = self._pack_id_mask(mask_src)
+        if not ids:
+            return np.zeros(self.image_size, np.asarray(mask_src).dtype)
+        scratch = jax.tree.map(jnp.zeros_like, self.memory)
+        img_src = self._prep_image(images[-1])
+        prob, scratch, det_to_slot = self._jit_incorporate(
+            self.variables, scratch, img_src, jnp.asarray(onehot), jnp.asarray(valid)
+        )
+        for image in reversed(images[:-1]):
+            prob, scratch = self._jit_step(
+                self.variables, scratch, self._prep_image(image)
+            )
+        prob = np.asarray(prob)          # (No+1, H, W); channel 0 = background
+        det_to_slot = np.asarray(det_to_slot)
+        out = np.zeros(self.image_size, np.asarray(mask_src).dtype)
+        best = prob.argmax(0)
+        for j, i in enumerate(ids):
+            slot = int(det_to_slot[j])
+            if slot < 0:
+                continue
+            out[(best == slot + 1) & (prob[slot + 1] > conf)] = i
+        return out
+
     def align_mask_to(self, image_dst, image_src, mask_src: np.ndarray) -> np.ndarray:
         """Host API: integer id mask in src-frame coords → id mask aligned to
         dst-frame coords (ids preserved; 0 = background/unmatched)."""
         img_d = self._prep_image(image_dst)
         img_s = self._prep_image(image_src)
-        import cv2
-
+        onehot, _valid, m, ids = self._pack_id_mask(mask_src)
         h, w = self.image_size
-        m = np.asarray(mask_src)
-        if m.shape != (h, w):
-            m = cv2.resize(m.astype(np.int32), (w, h), interpolation=cv2.INTER_NEAREST)
-        ids = [i for i in np.unique(m) if i != 0][: self.max_objects]
-        onehot = np.zeros((self.max_objects, h, w), np.float32)
-        for j, i in enumerate(ids):
-            onehot[j] = m == i
         probs = np.asarray(
             self._jit_align(self.variables, img_d, img_s, jnp.asarray(onehot))
         )
@@ -748,9 +796,13 @@ class TrackerCore:
         buffered frames.  Returns (ti, voted mask, segments_info) like DEVA.
 
         With ``config['align_voting']`` each buffered detection is first
-        projected into keyframe coordinates via key-affinity correspondence
-        (align_mask_to) — the spatial alignment DEVA gets from backward
-        propagation — so fast-moving objects still accumulate votes.
+        projected into keyframe coordinates so fast-moving objects still
+        accumulate votes.  Two alignment modes:
+          * ``'propagate'`` — TRUE backward propagation through the buffered
+            frames with a scratch memory (propagate_mask_backward), DEVA's
+            exact mechanism;
+          * any other truthy value — single-hop key-affinity correspondence
+            (align_mask_to), cheaper (one program vs a chain of steps).
         """
         assert keyframe_selection == "first"
         assert self.frame_buffer, "empty voting buffer"
@@ -758,16 +810,19 @@ class TrackerCore:
         key_mask = np.asarray(keyframe.mask)
         key_infos = list(keyframe.segments_info or [])
         n_frames = len(self.frame_buffer)
-        align = bool(self.config.get("align_voting", False))
+        align = self.config.get("align_voting", False)
+
+        def img_of(fi):
+            return fi.image_np if fi.image_np is not None else fi.image
+
         votes = {j: 1 for j in range(1, len(key_infos) + 1)}
-        for fi in self.frame_buffer[1:]:
+        for i, fi in enumerate(self.frame_buffer[1:], start=1):
             m = np.asarray(fi.mask)
-            if align:
-                src_img = fi.image_np if fi.image_np is not None else fi.image
-                key_img = (
-                    keyframe.image_np if keyframe.image_np is not None else keyframe.image
-                )
-                m = self.align_mask_to(key_img, src_img, m)
+            if align == "propagate":
+                chain = [img_of(f) for f in self.frame_buffer[: i + 1]]
+                m = self.propagate_mask_backward(chain, m)
+            elif align:
+                m = self.align_mask_to(img_of(keyframe), img_of(fi), m)
             if m.shape != key_mask.shape:
                 import cv2
 
