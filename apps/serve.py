@@ -18,6 +18,7 @@ Endpoints:
   POST /predict?conf=0.9&retina=1&max_polygon=0
        body: JPEG/PNG bytes → {"boxes": [[x1,y1,x2,y2],…], "conf": […],
        "cls": […], "polygons": [[[x,y],…],…], "batch": N}
+       max_polygon: -1 (default) = all polygons, 0 = suppress, N = first N
 """
 
 from __future__ import annotations
@@ -38,12 +39,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 class _Request:
-    __slots__ = ("frame", "conf", "retina", "event", "result", "error")
+    __slots__ = ("frame", "conf", "retina", "max_polygon", "event", "result", "error")
 
-    def __init__(self, frame, conf, retina):
+    def __init__(self, frame, conf, retina, max_polygon=-1):
         self.frame = frame
         self.conf = conf
         self.retina = retina
+        self.max_polygon = max_polygon  # -1 = all, 0 = none, N = first N
         self.event = threading.Event()
         self.result = None
         self.error = None
@@ -109,8 +111,20 @@ class Batcher(threading.Thread):
                     self._run_group(reqs, conf, retina)
                 except Exception as e:  # report, don't kill the server
                     for r in reqs:
+                        if r.event.is_set():
+                            continue  # already answered successfully
                         r.error = f"{type(e).__name__}: {e}"
                         r.event.set()
+        # shutdown: fail whatever is still queued so handler threads don't
+        # block for the full request timeout
+        while True:
+            try:
+                r = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None and not r.event.is_set():
+                r.error = "server shutting down"
+                r.event.set()
 
     def _run_group(self, reqs, conf, retina):
         n = len(reqs)
@@ -130,10 +144,11 @@ class Batcher(threading.Thread):
                 "cls": np.asarray(boxes.cls).astype(int).tolist(),
                 "batch": n,
             }
-            if res.masks is not None:
-                out["polygons"] = [
-                    np.asarray(p).round(2).tolist() for p in res.masks.xy
-                ]
+            if res.masks is not None and r.max_polygon != 0:
+                xy = res.masks.xy
+                if r.max_polygon > 0:
+                    xy = xy[: r.max_polygon]
+                out["polygons"] = [np.asarray(p).round(2).tolist() for p in xy]
             else:
                 out["polygons"] = []
             r.result = out
@@ -181,6 +196,11 @@ def make_handler(batcher: Batcher, timeout_s: float = 60.0):
                 self._json(400, {"error": "conf must be a float"})
                 return
             retina = qs.get("retina", ["0"])[0] not in ("0", "false", "")
+            try:
+                max_polygon = int(qs.get("max_polygon", ["-1"])[0])
+            except ValueError:
+                self._json(400, {"error": "max_polygon must be an int"})
+                return
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0:
                 self._json(400, {"error": "empty body (send JPEG/PNG bytes)"})
@@ -192,7 +212,7 @@ def make_handler(batcher: Batcher, timeout_s: float = 60.0):
             if frame is None:
                 self._json(400, {"error": "could not decode image"})
                 return
-            req = _Request(frame, conf, retina)
+            req = _Request(frame, conf, retina, max_polygon)
             batcher.submit(req)
             if not req.event.wait(timeout_s):
                 self._json(504, {"error": "inference timeout"})

@@ -145,8 +145,9 @@ class TrackerCore:
     ):
         self.subpix_tail = bool(subpix_tail)
         # int8 working ring: keys/values stored s8 with per-slot scales; both
-        # readout matmuls run s8xs8->s32 on the MXU (validated -0.0001 IoU on
-        # the shipped checkpoint).  The long-term prototype bank has no int8
+        # readout matmuls run s8xs8->s32 on the MXU (within 1e-4 propagation
+        # IoU of fp on the shipped checkpoint, delta +0.00001 on 16 eval
+        # clips).  The long-term prototype bank has no int8
         # path, so quantized memory requires enable_long_term=False.
         self.quantized_memory = bool(
             (config or {}).get("quantized_memory", quantized_memory)
@@ -236,10 +237,22 @@ class TrackerCore:
         self._jit_incorporate = jax.jit(self._incorporate_impl)
         self._jit_window = jax.jit(self._window_impl)
         self._jit_align = jax.jit(self._align_impl)
+        # feature-level programs (encode once, reuse across voting chains —
+        # the image_feature_store analog of DEVA, yolo_with_deva.py:95-97)
+        self._jit_encode1 = jax.jit(self._encode1_impl)
+        self._jit_step_feats = jax.jit(self._step_from_feats)
+        self._jit_incorporate_feats = jax.jit(self._incorporate_from_feats)
 
     # ------------------------------------------------------------------
     # device programs
     # ------------------------------------------------------------------
+
+    def _encode1_impl(self, variables, image):
+        """Encode ONE frame → (key (H16, W16, Ck), skips0 single-frame dict)."""
+        key, skips = self.net.apply(
+            variables, image[None], method=PropagationNetwork.encode_key
+        )
+        return key[0], {k: v[0] for k, v in skips.items()}
 
     def _encode_and_read(self, variables, image, memory: MemoryState):
         key, skips = self.net.apply(
@@ -616,9 +629,15 @@ class TrackerCore:
             valid[j] = True
         return onehot, valid, m, ids
 
+    def encode_frame_features(self, image: np.ndarray):
+        """Encode one frame to reusable (key, skips) features — the
+        image_feature_store analog (frames encoded once, reused across the
+        voting chains and any step-from-features call)."""
+        return self._jit_encode1(self.variables, self._prep_image(image))
+
     def propagate_mask_backward(
         self, images: Sequence[np.ndarray], mask_src: np.ndarray,
-        conf: float = 0.5,
+        conf: float = 0.5, feats: Optional[Sequence] = None,
     ) -> np.ndarray:
         """Project ``mask_src`` (id mask in ``images[-1]`` coords) into
         ``images[0]`` coords by TRUE backward propagation — DEVA's spatial
@@ -630,19 +649,28 @@ class TrackerCore:
         the last frame, then stepped through ``images[-2], …, images[0]``;
         the probability emitted at ``images[0]`` is the detection expressed in
         keyframe coordinates.  ``self.memory`` is untouched.
+
+        ``feats``: optional pre-encoded per-frame features
+        (encode_frame_features) aligned with ``images`` — callers running
+        several chains over the same buffer encode each frame ONCE instead of
+        once per chain.
         """
         assert len(images) >= 2, "need [dst, …, src] with at least two frames"
         onehot, valid, m, ids = self._pack_id_mask(mask_src)
         if not ids:
             return np.zeros(self.image_size, np.asarray(mask_src).dtype)
+        if feats is None:
+            feats = [self.encode_frame_features(im) for im in images]
+        assert len(feats) == len(images)
         scratch = jax.tree.map(jnp.zeros_like, self.memory)
-        img_src = self._prep_image(images[-1])
-        prob, scratch, det_to_slot = self._jit_incorporate(
-            self.variables, scratch, img_src, jnp.asarray(onehot), jnp.asarray(valid)
+        key_s, skips_s = feats[-1]
+        prob, scratch, det_to_slot = self._jit_incorporate_feats(
+            self.variables, scratch, key_s, skips_s,
+            jnp.asarray(onehot), jnp.asarray(valid),
         )
-        for image in reversed(images[:-1]):
-            prob, scratch = self._jit_step(
-                self.variables, scratch, self._prep_image(image)
+        for key, skips0 in reversed(feats[:-1]):
+            prob, scratch = self._jit_step_feats(
+                self.variables, scratch, key, skips0
             )
         prob = np.asarray(prob)          # (No+1, H, W); channel 0 = background
         det_to_slot = np.asarray(det_to_slot)
@@ -815,12 +843,24 @@ class TrackerCore:
         def img_of(fi):
             return fi.image_np if fi.image_np is not None else fi.image
 
+        # propagate mode: encode every buffered frame ONCE up front; the i-th
+        # chain reuses the cached features (without this, frame k re-encodes
+        # in every chain i>k — O(n²) encoder passes per vote)
+        feat_cache = (
+            [self.encode_frame_features(img_of(f)) for f in self.frame_buffer]
+            if align == "propagate" and len(key_infos)
+            else None
+        )
         votes = {j: 1 for j in range(1, len(key_infos) + 1)}
         for i, fi in enumerate(self.frame_buffer[1:], start=1):
+            if not votes:  # no keyframe objects — nothing to vote on
+                break
             m = np.asarray(fi.mask)
             if align == "propagate":
                 chain = [img_of(f) for f in self.frame_buffer[: i + 1]]
-                m = self.propagate_mask_backward(chain, m)
+                m = self.propagate_mask_backward(
+                    chain, m, feats=feat_cache[: i + 1]
+                )
             elif align:
                 m = self.align_mask_to(img_of(keyframe), img_of(fi), m)
             if m.shape != key_mask.shape:

@@ -416,9 +416,9 @@ def memory_readout_dense_int8(
 ):
     """Dense readout with an INT8 memory bank: both MXU matmuls run
     s8×s8→s32 (2× bf16 MXU throughput on v5e, half the HBM traffic for the
-    ring).  Validated: full-int8 simulation costs −0.0001 propagation IoU on
-    the shipped checkpoint (per-tensor query, per-slot key, per-row softmax
-    weight, per-(object, slot) value scales).
+    ring).  Validated: full-int8 simulation stays within 1e-4 propagation IoU
+    of fp on the shipped checkpoint (per-tensor query, per-slot key, per-row
+    softmax weight, per-(object, slot) value scales).
 
     Per-slot value scales would break a single flat matmul (scale varies
     along the contracted axis), so the value contraction batches over T —
