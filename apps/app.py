@@ -43,9 +43,13 @@ def yolo_inference(
     imgsz: int = 640,
     device_batch: int = 8,
     crop_size: int = 380,
+    return_info: bool = False,
 ):
     """Image mode returns (annotated RGB image, None); video mode returns
-    (None, annotated output video path)."""
+    (None, annotated output video path).  With ``return_info`` a third element
+    is appended — a dict of the pipeline's measurements (video: start/end
+    frame, speed; image: detection count) — for programmatic callers like the
+    web UI (the reference only printed these, app.py:180-181,194)."""
     import cv2
 
     from yolo_puncture_tpu.ops.geometry import create_roi_mask, polygon_to_mask
@@ -70,6 +74,10 @@ def yolo_inference(
             seg_coords = r.masks.xy[0]
             mask = polygon_to_mask(img.shape, seg_coords)
             img = cv2.addWeighted(img, 1, mask, 1, 0)
+        if return_info:
+            return img[:, :, ::-1], None, {
+                "mode": "image", "detections": int(len(r.boxes.conf)),
+            }
         return img[:, :, ::-1], None
 
     # -- video mode ---------------------------------------------------------
@@ -121,13 +129,13 @@ def yolo_inference(
             x2 = min(w, x2 + OUT_EXPAND)
             y2 = min(h, y2 + OUT_EXPAND)
             last_xyxy = (x1, y1, x2, y2)
-        if idx == res.start_frame:
+        if idx == out.start_frame:
             inserted = True
-        if res.end_frame is not None and idx >= res.end_frame:
+        if out.end_frame is not None and idx >= out.end_frame:
             inserted = False
 
-        if res.end_frame is not None and idx >= res.end_frame and res.speed_mm_s:
-            label = f"{idx} {cls} {prob:.2f} {res.speed_mm_s:.2f}mm/s"
+        if out.end_frame is not None and idx >= out.end_frame and out.speed_mm_s:
+            label = f"{idx} {cls} {prob:.2f} {out.speed_mm_s:.2f}mm/s"
         elif np.isnan(actual_len):
             label = f"{idx} {cls} {prob:.2f} -"
         else:
@@ -154,10 +162,19 @@ def yolo_inference(
         combined = cv2.addWeighted(combined, 1, roi, 1, 0)
         writer.write(combined)
     writer.release()
-    if res.speed_mm_s:
+    if out.speed_mm_s:
         print(
-            f"Start: {res.start_frame} End: {res.end_frame} Speed: {res.speed_mm_s:.2f}mm/s"
+            f"Start: {out.start_frame} End: {out.end_frame} Speed: {out.speed_mm_s:.2f}mm/s"
         )
+    if return_info:
+        return None, output_video_path, {
+            "mode": "video",
+            "start_frame": out.start_frame,
+            "end_frame": out.end_frame,
+            "speed_mm_s": out.speed_mm_s,
+            "fps": float(fps),
+            "n_frames": len(frames),
+        }
     return None, output_video_path
 
 
