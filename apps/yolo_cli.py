@@ -48,7 +48,15 @@ def cmd_train(kv):
     ckpt = kv.get("project", "runs/train")
 
     model = create_model(model_name, nc=nc)
-    ds = SegDataset(data, split="train", imgsz=imgsz)
+    aug = {
+        k: float(kv[k])
+        for k in ("mosaic", "scale", "translate", "fliplr", "hsv_h", "hsv_s", "hsv_v")
+        if k in kv
+    }
+    ds = SegDataset(
+        data, split="train", imgsz=imgsz,
+        augment=kv.get("augment", "true").lower() != "false", **aug,
+    )
     steps_per_epoch = max(1, len(ds) // batch)
     # data-parallel over the largest device count that divides the batch
     n_dev = len(jax.devices())
@@ -61,7 +69,10 @@ def cmd_train(kv):
         warmup_steps=min(3 * steps_per_epoch, 1000),
         mesh=mesh,
     )
-    state = trainer.fit(ds, epochs=epochs, batch_size=batch, ckpt_dir=ckpt)
+    state = trainer.fit(
+        ds, epochs=epochs, batch_size=batch, ckpt_dir=ckpt,
+        close_mosaic=int(kv.get("close_mosaic", 10)),
+    )
     print(f"training done: {int(state.step)} steps; checkpoints in {ckpt}")
     return state
 

@@ -159,11 +159,23 @@ class Trainer:
         ckpt_dir: Optional[str] = None,
         ckpt_every: int = 1000,
         resume: Optional[str] = None,
+        close_mosaic: int = 10,
     ) -> TrainState:
         state = None
         step = 0
         restored = self.load_checkpoint(resume) if resume else None
         for epoch in range(epochs):
+            # disable mosaic for the final `close_mosaic` epochs so late
+            # training sees inference-statistics images; like the ultralytics
+            # trainer the reference shells out to, the trigger only exists
+            # when the run is longer than the close window
+            if (
+                close_mosaic
+                and epochs > close_mosaic
+                and epochs - epoch <= close_mosaic
+                and getattr(dataset, "mosaic", 0)
+            ):
+                dataset.mosaic = 0.0
             for batch in dataset.batches(batch_size):
                 if state is None:
                     state = self.init_state(batch)
