@@ -98,3 +98,25 @@ def test_compiled_cache_reuse(tiny_predictor):
     n = len(tiny_predictor._compiled)
     tiny_predictor.predict(source=frame, conf=0.7, imgsz=64)  # same geometry
     assert len(tiny_predictor._compiled) == n
+
+
+def test_predict_dir_and_video_sources(tiny_predictor, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(4)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for name in ("b.jpg", "a.png"):
+        cv2.imwrite(str(d / name), rng.integers(0, 255, (64, 64, 3)).astype(np.uint8))
+    results = tiny_predictor.predict(source=str(d), conf=0.9, imgsz=64)
+    assert len(results) == 2
+    # name-sorted order: a.png before b.jpg
+    assert [r.path for r in results] == [str(d / "a.png"), str(d / "b.jpg")]
+
+    vid = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (48, 64, 3)).astype(np.uint8))
+    w.release()
+    results = tiny_predictor.predict(source=vid, conf=0.9, imgsz=64)
+    assert len(results) == 3
+    assert all(r.orig_shape == (48, 64) for r in results)

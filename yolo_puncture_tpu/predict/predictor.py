@@ -223,6 +223,35 @@ class YOLO:
                 a = a * 255.0
             return np.clip(np.rint(a), 0, 255).astype(np.uint8)
 
+        if isinstance(source, str) and os.path.isdir(source):
+            # directory source: every image file, name-sorted (ultralytics dir mode)
+            names = sorted(
+                f for f in os.listdir(source)
+                if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp", ".webp"))
+            )
+            frames, paths = [], []
+            for f in names:
+                fr, p = one(os.path.join(source, f))
+                frames.append(fr)
+                paths.append(p)
+            return frames, paths
+        if isinstance(source, str) and source.lower().endswith(
+            (".mp4", ".avi", ".mov", ".mkv")
+        ):
+            # video source: decode every frame (ultralytics video mode)
+            import cv2
+
+            cap = cv2.VideoCapture(source)
+            if not cap.isOpened():
+                raise FileNotFoundError(source)
+            frames = []
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frames.append(frame)
+            cap.release()
+            return frames, [source] * len(frames)
         if isinstance(source, (list, tuple)):
             if not source:  # empty batch → no results (ultralytics returns [])
                 return [], []
