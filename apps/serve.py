@@ -267,11 +267,18 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--window_ms", type=float, default=5.0)
     p.add_argument("--int8", action="store_true", help="int8 conv serving path")
+    p.add_argument("--calib_dir", default=None,
+                   help="directory of representative frames: calibrate static "
+                        "int8 activation scales (PTQ) before serving")
     args = p.parse_args(argv)
 
     from yolo_puncture_tpu.predict import YOLO
 
     model = YOLO(args.weights, nc=args.nc, int8_serving=args.int8)
+    if args.int8 and args.calib_dir:
+        scales = model.calibrate_int8(args.calib_dir, imgsz=args.imgsz)
+        print(f"int8 calibration: {len(scales)} conv scales frozen "
+              f"from {args.calib_dir}")
     server = Server(model, host=args.host, port=args.port, imgsz=args.imgsz,
                     max_batch=args.max_batch, window_ms=args.window_ms)
     server.start()

@@ -79,3 +79,36 @@ def test_int8_predictor_end_to_end():
     np.testing.assert_allclose(
         np.sort(r_q8.boxes.xyxy, axis=0), np.sort(r_fp.boxes.xyxy, axis=0), atol=6.0
     )
+
+
+def test_collect_act_scales_static_matches_dynamic():
+    """percentile=100 scales from the SAME batch reproduce the dynamic path
+    (static sx == dynamic absmax scale)."""
+    from yolo_puncture_tpu.nn.common import ConvBN
+    from yolo_puncture_tpu.nn.quant import collect_act_scales, int8_convs
+
+    m = ConvBN(16, 3, 1)
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 16, 16, 8)).astype(np.float32)
+    )
+    v = m.init(jax.random.PRNGKey(0), x)
+    scales = collect_act_scales(lambda b: m.apply(v, b), [x], percentile=100.0)
+    assert len(scales) == 1 and all(s > 0 for s in scales.values())
+    with int8_convs():
+        dyn = np.asarray(m.apply(v, x))
+    with int8_convs(act_scales=scales):
+        stat = np.asarray(m.apply(v, x))
+    np.testing.assert_allclose(stat, dyn, rtol=1e-5, atol=1e-5)
+
+
+def test_calibrated_predictor_end_to_end():
+    from yolo_puncture_tpu.predict import YOLO
+
+    det = YOLO("yolo10n-seg", nc=1, max_det=8, max_masks=4, int8_serving=True)
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8) for _ in range(2)]
+    scales = det.calibrate_int8(frames, imgsz=64)
+    assert len(scales) > 20  # every backbone/neck ConvBN conv recorded
+    assert all(s >= 0 for s in scales.values())
+    r = det.predict(source=frames[0], conf=0.25, imgsz=64)[0]
+    assert r.boxes.xyxy.shape[1] == 4  # full Results surface under static int8

@@ -30,10 +30,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _int8_conv(mod: nn.Conv, x):
+def _module_key(mod) -> str:
+    return "/".join(str(p) for p in mod.path)
+
+
+def _int8_conv(mod: nn.Conv, x, act_scale=None):
     kernel = mod.variables["params"]["kernel"]
     xf = x.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    if act_scale is not None:
+        # static calibrated scale: no per-batch reduction in the graph
+        sx = jnp.float32(max(float(act_scale), 1e-8) / 127.0)
+    else:
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
     xi8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     kf = jnp.asarray(kernel).astype(jnp.float32)
     sk = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-12) / 127.0
@@ -65,11 +73,18 @@ def _eligible(mod) -> bool:
 
 
 @contextlib.contextmanager
-def int8_convs(enabled: bool = True):
+def int8_convs(enabled: bool = True, act_scales=None):
     """Context manager: inside, ``model.apply`` runs eligible convs in int8.
 
     Must be active at TRACE time (wrap the apply call inside your jitted
     function); the traced graph then embeds the int8 ops permanently.
+
+    ``act_scales`` (from :func:`collect_act_scales`) switches activation
+    quantization from dynamic per-batch absmax to STATIC calibrated scales
+    keyed by module path — the standard PTQ serving configuration: the
+    per-conv abs-max reduction disappears from the graph and scales stop
+    depending on batch composition.  Convs missing from the dict fall back
+    to dynamic scaling.
     """
     if not enabled:
         yield
@@ -78,8 +93,39 @@ def int8_convs(enabled: bool = True):
     def interceptor(next_fn, args, kwargs, context):
         mod = context.module
         if context.method_name == "__call__" and _eligible(mod):
-            return _int8_conv(mod, args[0])
+            s = act_scales.get(_module_key(mod)) if act_scales else None
+            return _int8_conv(mod, args[0], act_scale=s)
         return next_fn(*args, **kwargs)
 
     with nn.intercept_methods(interceptor):
         yield
+
+
+def collect_act_scales(apply_fn, batches, percentile: float = 99.9) -> dict:
+    """Calibration pass: per-conv activation scale for static-int8 serving.
+
+    Runs ``apply_fn(batch)`` eagerly for each calibration batch under a
+    recording interceptor and returns ``{module_path: amax}`` where ``amax``
+    is the max over batches of the per-batch ``percentile`` of ``|x|``
+    (``percentile=100`` → plain absmax).  Pass the result to
+    ``int8_convs(act_scales=...)``.  Forward outputs are unchanged (the
+    recorder observes inputs, convs still run fp during calibration).
+    """
+    scales: dict = {}
+
+    def recorder(next_fn, args, kwargs, context):
+        mod = context.module
+        if context.method_name == "__call__" and _eligible(mod):
+            a = jnp.abs(args[0].astype(jnp.float32))
+            amax = (
+                jnp.max(a) if percentile >= 100.0
+                else jnp.percentile(a.ravel(), percentile)
+            )
+            k = _module_key(mod)
+            scales[k] = max(scales.get(k, 0.0), float(amax))
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(recorder):
+        for batch in batches:
+            apply_fn(batch)
+    return scales

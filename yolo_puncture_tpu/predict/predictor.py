@@ -74,9 +74,33 @@ class YOLO:
         # int8 conv serving (nn/quant.py): s8 MXU convs inside the fused
         # pipeline; validate accuracy on your fine-tuned weights before use
         self.int8_serving = bool(int8_serving)
+        self._act_scales: Optional[dict] = None  # static PTQ scales (calibrate_int8)
         self.model = YOLOModel(version=version, scale=scale, nc=nc, task=task, dtype=dtype)
         self.variables = self._load_variables(seed)
         self._compiled: Dict[Tuple, Any] = {}
+
+    def calibrate_int8(self, frames, imgsz: int = 640, percentile: float = 99.9) -> dict:
+        """PTQ calibration for the int8 serving path: record per-conv
+        activation scales over representative frames and freeze them, so the
+        served graph uses static scales (no per-batch absmax reductions).
+        Frames go through the same letterbox preprocessing as predict().
+        Returns the scales dict (also stored on the predictor; recompiles
+        lazily on next predict)."""
+        from yolo_puncture_tpu.nn.quant import collect_act_scales
+        from yolo_puncture_tpu.ops.letterbox import letterbox
+
+        frames_list, _ = self._to_frames(frames)
+        if not frames_list:
+            raise ValueError("calibrate_int8 needs at least one frame")
+        batches = []
+        for f in frames_list:
+            imgs, _, _ = letterbox(f[None], imgsz, dtype=self.model.dtype, bgr_to_rgb=True)
+            batches.append(imgs)
+        self._act_scales = collect_act_scales(
+            lambda b: self.model.apply(self.variables, b), batches, percentile=percentile
+        )
+        self._compiled.clear()  # embed static scales on next compile
+        return self._act_scales
 
     # -- weights ------------------------------------------------------------
 
@@ -113,6 +137,7 @@ class YOLO:
         max_det, max_masks = self.max_det, self.max_masks
         task = self.task
         int8 = self.int8_serving
+        act_scales = self._act_scales if int8 else None
         # static letterbox geometry for this (h0, w0, imgsz) — identical to the
         # values letterbox() derives inside `run`; shared with _paste/overflow
         r, _, pad = letterbox_params(h0, w0, imgsz)
@@ -124,7 +149,7 @@ class YOLO:
             imgs, _r, _pad = letterbox(frames_u8, imgsz, dtype=model.dtype, bgr_to_rgb=True)
             from yolo_puncture_tpu.nn.quant import int8_convs
 
-            with int8_convs(int8):
+            with int8_convs(int8, act_scales=act_scales):
                 out = model.apply(variables, imgs)
             det = select_detections(
                 out, nms_free=nms_free, conf_thres=conf, iou_thres=iou, max_det=max_det
