@@ -137,10 +137,24 @@ def main():
     int8_det = os.environ.get("BENCH_INT8_DET", "0") != "0"
     from yolo_puncture_tpu.nn.quant import int8_convs
 
+    # BENCH_INT8_STATIC=1: calibrate static activation scales on one batch of
+    # bench-statistics frames (PTQ serving config — absmax reductions gone)
+    act_scales = None
+    if int8_det and os.environ.get("BENCH_INT8_STATIC", "0") != "0":
+        from yolo_puncture_tpu.nn.quant import collect_act_scales
+
+        _rng = np.random.default_rng(7)
+        _cal = jnp.asarray(_rng.integers(0, 255, size=(4, 720, 1280, 3), dtype=np.uint8))
+        _imgs, _, _ = letterbox(_cal, imgsz, dtype=jnp.bfloat16, bgr_to_rgb=True)
+        act_scales = collect_act_scales(
+            lambda b: model.apply(variables, b), [_imgs], percentile=100.0
+        )
+        print(f"# static int8: {len(act_scales)} calibrated conv scales", file=sys.stderr)
+
     @jax.jit
     def det_step(variables, frames_u8, conf, chk):
         imgs, r, pad = letterbox(frames_u8, imgsz, dtype=jnp.bfloat16, bgr_to_rgb=True)
-        with int8_convs(int8_det):
+        with int8_convs(int8_det, act_scales=act_scales):
             out = model.apply(variables, imgs)
         det = select_detections(out, nms_free=True, conf_thres=conf, max_det=8)
         masks = decode_masks(
@@ -183,7 +197,7 @@ def main():
             imgs, r, pad = letterbox(
                 frames_u8, imgsz, dtype=jnp.bfloat16, bgr_to_rgb=True
             )
-            with int8_convs(int8_det):
+            with int8_convs(int8_det, act_scales=act_scales):
                 out = model.apply(variables, imgs)
             det = select_detections(out, nms_free=True, conf_thres=conf, max_det=8)
             masks = decode_masks(

@@ -23,6 +23,7 @@ MATRIX = [
     ("fused+shared b128 int8-det", {"BENCH_INT8_DET": "1"}),
     ("fused+shared b128 int8-mem", {"BENCH_INT8": "1"}),
     ("fused+shared b128 int8-both", {"BENCH_INT8_DET": "1", "BENCH_INT8": "1"}),
+    ("fused+shared b128 int8-det-static", {"BENCH_INT8_DET": "1", "BENCH_INT8_STATIC": "1"}),
     ("fused+shared b256", {"BENCH_BATCH": "256"}),
     ("detector-only b128", {"BENCH_TRACK": "0"}),
 ]
