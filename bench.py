@@ -28,26 +28,156 @@ device (the fused pipeline consumes them on-device).
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# ---------------------------------------------------------------------------
+# Orchestrator layer (parent process).
+#
+# The axon remote-TPU tunnel has multi-hour outage windows and can also flap
+# for a few minutes at a time.  Round 1's single 180 s probe turned one flap
+# into a 0.0 fps official record (BENCH_r01.json).  The parent process now
+# spends the whole watchdog budget trying:
+#   phase 1 — cheap probe subprocesses (fresh JAX backend each time, so a hung
+#             backend never wedges the parent) with escalating backoff until
+#             one completes a real device computation;
+#   phase 2 — measurement child (BENCH_CHILD=1 runs the original bench below).
+#             A mid-run stall is killed by pid and retried; the persistent
+#             compile cache (~/.jax_cache) makes retries skip recompilation.
+# Success → re-emit the child's JSON line, exit 0.  Exhausted budget → one
+# bail JSON line with attempt history, nonzero exit.
+# ---------------------------------------------------------------------------
+
+# Most recent value measured on the real chip (the axon tunnel has multi-hour
+# outages); reported alongside a bail so an infra failure at bench time is
+# distinguishable from a perf regression.  value/vs_baseline in the bail line
+# stay 0.0: nothing was measured THIS run.
+LAST_MEASURED = {"fps": 1125.0, "date": "2026-08-18", "config": "fused+shared, batch 128"}
+
+# the axon plugin force-registers at jax import and ignores the JAX_PLATFORMS
+# env var; honor it via jax.config so CPU smoke-testing of this script works
+_PROBE_SRC = (
+    "import os, numpy as np, jax;"
+    "p = os.environ.get('JAX_PLATFORMS');"
+    "jax.config.update('jax_platforms', p) if p else None;"
+    "import jax.numpy as jnp;"
+    "x = jnp.ones((128, 128));"
+    "print('PROBE_OK', float(np.asarray((x @ x).sum())))"
+)
+
+
+def _run_probe(timeout_s: float) -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return "PROBE_OK" in (r.stdout or "")
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
+def _orchestrate() -> None:
+    budget = float(os.environ.get("BENCH_WATCHDOG_SECS", "2700"))
+    t_start = time.time()
+    deadline = t_start + budget - 30.0
+    history = []
+
+    # Phase 1: probe until the device answers (or budget gone).
+    probe_ok = False
+    backoff = 30.0
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        t = min(150.0, max(30.0, deadline - time.time()))
+        t_p = time.time()
+        if _run_probe(t):
+            probe_ok = True
+            history.append(f"probe#{attempt} ok ({time.time()-t_p:.0f}s)")
+            break
+        history.append(f"probe#{attempt} fail ({time.time()-t_p:.0f}s)")
+        if time.time() + backoff >= deadline:
+            break
+        time.sleep(backoff)
+        backoff = min(backoff * 2.0, 300.0)
+
+    if not probe_ok:
+        print(json.dumps({
+            "metric": "frames/sec/chip at 640x640 (YOLOv10-S seg+DEVA)",
+            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": "device unreachable after retries: " + "; ".join(history),
+            "last_measured_on_chip": LAST_MEASURED,
+        }), flush=True)
+        sys.exit(2)
+
+    # Phase 2: measurement child, retried on stall/failure.
+    child_env = dict(os.environ)
+    child_env["BENCH_CHILD"] = "1"
+    child_env.setdefault("BENCH_PROBE_TIMEOUT", "120")
+    m_attempt = 0
+    last_err = "no measurement attempt fit in budget"
+    while time.time() < deadline - 120.0:
+        m_attempt += 1
+        remaining = deadline - time.time()
+        # first attempt may cold-compile (~5 min/program remote); later
+        # attempts hit the persistent compile cache
+        per_attempt = min(remaining, 1500.0 if m_attempt == 1 else 900.0)
+        child_env["BENCH_WATCHDOG_SECS"] = str(max(60.0, per_attempt - 15.0))
+        t_m = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=child_env, capture_output=True, text=True,
+                timeout=per_attempt,
+            )
+            out_lines = [ln for ln in (r.stdout or "").splitlines()
+                         if ln.startswith("{")]
+            if out_lines:
+                parsed = json.loads(out_lines[-1])
+                if parsed.get("value", 0) > 0:
+                    history.append(f"measure#{m_attempt} ok ({time.time()-t_m:.0f}s)")
+                    print(out_lines[-1], flush=True)
+                    sys.exit(0)
+                last_err = parsed.get("error", f"rc={r.returncode}")
+            else:
+                tail = ((r.stderr or "").strip().splitlines() or ["no output"])[-1]
+                last_err = f"rc={r.returncode}: {tail[:200]}"
+        except subprocess.TimeoutExpired:
+            last_err = f"measurement child hung > {per_attempt:.0f}s"
+        history.append(f"measure#{m_attempt} fail ({time.time()-t_m:.0f}s): {last_err}")
+        # quick re-probe before burning another long attempt
+        if time.time() < deadline - 180.0 and not _run_probe(120.0):
+            history.append("re-probe fail")
+            time.sleep(min(60.0, max(0.0, deadline - time.time() - 120.0)))
+
+    print(json.dumps({
+        "metric": "frames/sec/chip at 640x640 (YOLOv10-S seg+DEVA)",
+        "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+        "error": f"all attempts failed: {last_err}",
+        "attempts": history,
+        "last_measured_on_chip": LAST_MEASURED,
+    }), flush=True)
+    sys.exit(3)
+
+
+if __name__ == "__main__" and os.environ.get("BENCH_CHILD") != "1":
+    _orchestrate()  # exits; measurement below runs only in the child
+
 import jax
 
+if os.environ.get("JAX_PLATFORMS"):  # axon plugin ignores the env var (see above)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import jax.numpy as jnp
 import numpy as np
-
-
-# Most recent value measured on the real chip (the axon tunnel has multi-hour
-# outages — memory/axon-tunnel-outages.md); reported alongside a bail so an
-# infra failure at bench time is distinguishable from a perf regression.
-# value/vs_baseline in the bail line stay 0.0: nothing was measured THIS run.
-LAST_MEASURED = {"fps": 1125.0, "date": "2026-08-18", "config": "fused+shared, batch 128"}
 
 
 def _bail(reason: str, code: int) -> None:
@@ -87,9 +217,49 @@ def _global_watchdog(limit_s: float) -> None:
     t.start()
 
 
+def _main_e2e():
+    """BENCH_MODE=e2e — BASELINE config 5: the full fused VideoSpeedPipeline
+    (letterbox → detector → best-box → mask decode → 380² crop → classifier on
+    device; polygon/min-rect/key-frame/state-machine on host).  Reference
+    semantics: /root/reference/dev_tools/auto_speed_calc.py:36-140."""
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
+
+    from yolo_puncture_tpu.pipeline.runner import VideoSpeedPipeline
+    from yolo_puncture_tpu.predict.predictor import YOLO
+    from yolo_puncture_tpu.tasks.classify import ClassifierNet
+
+    det = YOLO("yolo10s-seg", nc=1, dtype=jnp.bfloat16)
+    cls_net = ClassifierNet("efficientnet_b3", dtype=jnp.bfloat16)
+    pipe = VideoSpeedPipeline(det, cls_net, device_batch=batch, imgsz=imgsz)
+
+    rng = np.random.default_rng(0)
+    n_frames = batch * iters
+    frames = [
+        rng.integers(0, 255, size=(720, 1280, 3), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    # warmup/compile on one batch
+    pipe.process_frames(frames[:batch], fps=30.0)
+    t0 = time.perf_counter()
+    out = pipe.process_frames(frames, fps=30.0)
+    dt = time.perf_counter() - t0
+    assert len(out.lens) == n_frames
+    fps = n_frames / dt
+    print(json.dumps({
+        "metric": "E2E frames/sec/chip (VideoSpeedPipeline det+cls+analytics, config 5)",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 500.0, 3),
+    }))
+
+
 def main():
     _probe_device(float(os.environ.get("BENCH_PROBE_TIMEOUT", "180")))
     _global_watchdog(float(os.environ.get("BENCH_WATCHDOG_SECS", "2700")))
+    if os.environ.get("BENCH_MODE", "stream") == "e2e":
+        return _main_e2e()
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
@@ -115,6 +285,9 @@ def main():
 
                 shared = os.environ.get("BENCH_SHARED", "1") != "0"
                 int8_mem = os.environ.get("BENCH_INT8", "0") != "0"
+                # BENCH_FLASH=1: Pallas flash memory-readout trial (VERDICT r1
+                # item 3) — mutually exclusive with quantized memory
+                flash = os.environ.get("BENCH_FLASH", "0") != "0"
                 # reference DEVA geometry: min-side 480 at the 720p source
                 # aspect, /16-padded → (480, 864).  A 480² square would do
                 # ~2× less readout work than the reference stage.
@@ -123,7 +296,7 @@ def main():
                     max_objects=4, mem_frames=8,
                     mem_every=4, enable_long_term=False, dtype=jnp.bfloat16,
                     subpix_tail=True, pyramid_adapter=shared,
-                    quantized_memory=int8_mem,
+                    quantized_memory=int8_mem, flash_readout=flash,
                 )
                 mem = core.memory._replace(active=core.memory.active.at[0].set(True))
             else:
@@ -133,6 +306,37 @@ def main():
         except Exception as e:  # tracker unavailable → detector-only bench
             print(f"# tracker disabled: {e}", file=sys.stderr)
             track_fn = core = None
+
+    # Pallas proto-decode trial (VERDICT r1 item 3): BENCH_PALLAS_PROTO=1 decodes
+    # all max_det candidate masks at PROTO resolution with the fused Pallas
+    # kernel; BENCH_PROTO_RES=1 is the matched-work XLA control (same semantics,
+    # decode_masks upsample=False).  Default path stays the retina-res XLA
+    # decode of the best instance (the served predict contract).
+    pallas_proto = os.environ.get("BENCH_PALLAS_PROTO", "0") != "0"
+    proto_res = pallas_proto or os.environ.get("BENCH_PROTO_RES", "0") != "0"
+    if pallas_proto:
+        from yolo_puncture_tpu.ops.pallas.proto_decode import proto_decode_pallas
+
+        _pallas_interp = jax.default_backend() == "cpu"
+
+    def bench_decode(out, det):
+        if proto_res:
+            if pallas_proto:
+                stride = imgsz // out["proto"].shape[1]
+                return jax.vmap(
+                    lambda p, c, b: proto_decode_pallas(
+                        p, c, b, threshold=0.5, interpret=_pallas_interp
+                    )
+                )(out["proto"], det["coeffs"],
+                  det["boxes"].astype(jnp.float32) / stride)
+            return decode_masks(
+                out["proto"], det["coeffs"], det["boxes"],
+                (imgsz, imgsz), upsample=False, threshold=0.5,
+            )
+        return decode_masks(
+            out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],
+            (imgsz, imgsz), upsample=True, threshold=0.5,
+        )
 
     int8_det = os.environ.get("BENCH_INT8_DET", "0") != "0"
     from yolo_puncture_tpu.nn.quant import int8_convs
@@ -157,10 +361,7 @@ def main():
         with int8_convs(int8_det, act_scales=act_scales):
             out = model.apply(variables, imgs)
         det = select_detections(out, nms_free=True, conf_thres=conf, max_det=8)
-        masks = decode_masks(
-            out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],
-            (imgsz, imgsz), upsample=True, threshold=0.5,
-        )
+        masks = bench_decode(out, det)
         boxes = det["boxes"][:, 0]
         scores = det["scores"][:, 0]
         valid = det["valid"][:, 0]
@@ -200,10 +401,7 @@ def main():
             with int8_convs(int8_det, act_scales=act_scales):
                 out = model.apply(variables, imgs)
             det = select_detections(out, nms_free=True, conf_thres=conf, max_det=8)
-            masks = decode_masks(
-                out["proto"], det["coeffs"][:, :1], det["boxes"][:, :1],
-                (imgsz, imgsz), upsample=True, threshold=0.5,
-            )
+            masks = bench_decode(out, det)
             if core.pyramid_adapter:
                 # shared backbone: the tracker reads the detector's P3/P4/P5
                 # pyramid (already computed for THIS batch) through 1×1

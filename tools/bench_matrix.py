@@ -26,6 +26,13 @@ MATRIX = [
     ("fused+shared b128 int8-det-static", {"BENCH_INT8_DET": "1", "BENCH_INT8_STATIC": "1"}),
     ("fused+shared b256", {"BENCH_BATCH": "256"}),
     ("detector-only b128", {"BENCH_TRACK": "0"}),
+    # Pallas-kernel trials (VERDICT r1 item 3): flash memory readout, and the
+    # proto-resolution mask decode — pallas kernel vs matched-work XLA control
+    ("fused+flash-readout b128", {"BENCH_FLASH": "1"}),
+    ("proto-res decode XLA b128", {"BENCH_PROTO_RES": "1"}),
+    ("proto-res decode Pallas b128", {"BENCH_PALLAS_PROTO": "1"}),
+    # BASELINE config 5: fused VideoSpeedPipeline E2E (det+cls+analytics)
+    ("e2e-config5 pipeline b32", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32"}),
 ]
 
 QUICK = MATRIX[:2]

@@ -53,8 +53,12 @@ def proto_decode_pallas(protos, coeffs, boxes, threshold: float = 0.5, interpret
     Hp, Wp, nm = protos.shape
     N = coeffs.shape[0]
     PX = Hp * Wp
-    TILE_PX = 512
-    assert PX % TILE_PX == 0, f"Hp*Wp={PX} must be a multiple of {TILE_PX}"
+    # largest power-of-two tile ≤512 dividing the pixel count (640² serving
+    # geometry → 160×160 proto → TILE 512; tiny test geometries still work)
+    TILE_PX = min(512, PX)
+    while PX % TILE_PX:
+        TILE_PX //= 2
+    assert TILE_PX >= 1
     protos_flat = protos.reshape(PX, nm)
 
     out = pl.pallas_call(
