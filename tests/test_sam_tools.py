@@ -10,7 +10,7 @@ def test_sam_forward_shapes():
 
     from yolo_puncture_tpu.models.sam import SAM
 
-    model = SAM(variant="vit_b")
+    model = SAM(variant="vit_b", img_size=64)
     img = jnp.zeros((1, 64, 64, 3), jnp.float32)
     pts = jnp.asarray([[[0.5, 0.5]]], jnp.float32)
     lbl = jnp.ones((1, 1), jnp.int32)
@@ -24,11 +24,13 @@ def test_sam_forward_shapes():
 def test_sam_amg_generate():
     from yolo_puncture_tpu.models.sam import SamAutomaticMaskGenerator, build_sam
 
-    sam = build_sam("vit_b")
+    # geometry is a model property now (real-SAM semantics: rel-pos tables and
+    # pos_embed are sized to img_size at build time)
+    sam = build_sam("vit_b", img_size=64)
     gen = SamAutomaticMaskGenerator(
         sam, points_per_side=2, points_per_batch=4,
         pred_iou_thresh=-10.0, stability_score_thresh=0.0,
-        crop_n_layers=0, input_size=64,
+        crop_n_layers=0,
     )
     img = np.random.default_rng(0).integers(0, 255, (96, 128, 3), np.uint8)
     masks = gen.generate(img)

@@ -1,0 +1,463 @@
+"""Independent torch implementation of SAM (segment-anything) with the REAL
+checkpoint key naming — the parity twin for yolo_puncture_tpu/models/sam.py.
+
+Written from the published segment-anything module semantics (facebookresearch/
+segment-anything, the package the reference imports at
+yolo_seg/utils/segment_anything.py:4): ViTDet image encoder with decomposed
+relative-position attention and 14×14 windows, PositionEmbeddingRandom prompt
+encoding, and the two-way-transformer mask decoder with downsampled cross
+attention and per-token hypernetwork MLPs.  State-dict keys match released
+``sam_vit_*.pth`` files (image_encoder.blocks.0.attn.rel_pos_h,
+mask_decoder.transformer.layers.0.cross_attn_token_to_image.q_proj.weight, ...)
+so the converter under test sees the real layout.
+
+``img_size`` is configurable (released checkpoints are 1024; tests use smaller
+for CPU speed — rel-pos/pos-embed shapes scale accordingly).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+_VIT_CFG = {
+    "vit_b": (768, 12, 12, (2, 5, 8, 11)),
+    "vit_l": (1024, 24, 16, (5, 11, 17, 23)),
+    "vit_h": (1280, 32, 16, (7, 15, 23, 31)),
+}
+PROMPT_DIM = 256
+
+
+class LayerNorm2d(nn.Module):
+    def __init__(self, num_channels, eps=1e-6):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(num_channels))
+        self.bias = nn.Parameter(torch.zeros(num_channels))
+        self.eps = eps
+
+    def forward(self, x):
+        u = x.mean(1, keepdim=True)
+        s = (x - u).pow(2).mean(1, keepdim=True)
+        x = (x - u) / torch.sqrt(s + self.eps)
+        return self.weight[:, None, None] * x + self.bias[:, None, None]
+
+
+class MLPBlock(nn.Module):
+    def __init__(self, embedding_dim, mlp_dim, act=nn.GELU):
+        super().__init__()
+        self.lin1 = nn.Linear(embedding_dim, mlp_dim)
+        self.lin2 = nn.Linear(mlp_dim, embedding_dim)
+        self.act = act()
+
+    def forward(self, x):
+        return self.lin2(self.act(self.lin1(x)))
+
+
+def get_rel_pos(q_size, k_size, rel_pos):
+    max_rel_dist = int(2 * max(q_size, k_size) - 1)
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos_resized = F.interpolate(
+            rel_pos.reshape(1, rel_pos.shape[0], -1).permute(0, 2, 1),
+            size=max_rel_dist, mode="linear",
+        )
+        rel_pos_resized = rel_pos_resized.reshape(-1, max_rel_dist).permute(1, 0)
+    else:
+        rel_pos_resized = rel_pos
+    q_coords = torch.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = torch.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    relative_coords = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos_resized[relative_coords.long()]
+
+
+def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    Rh = get_rel_pos(q_h, k_h, rel_pos_h)
+    Rw = get_rel_pos(q_w, k_w, rel_pos_w)
+    B, _, dim = q.shape
+    r_q = q.reshape(B, q_h, q_w, dim)
+    rel_h = torch.einsum("bhwc,hkc->bhwk", r_q, Rh)
+    rel_w = torch.einsum("bhwc,wkc->bhwk", r_q, Rw)
+    attn = (
+        attn.view(B, q_h, q_w, k_h, k_w)
+        + rel_h[:, :, :, :, None]
+        + rel_w[:, :, :, None, :]
+    ).view(B, q_h * q_w, k_h * k_w)
+    return attn
+
+
+class Attention(nn.Module):
+    """Encoder attention (multi-head, fused qkv, decomposed rel pos)."""
+
+    def __init__(self, dim, num_heads=8, qkv_bias=True, use_rel_pos=False,
+                 input_size=None):
+        super().__init__()
+        self.num_heads = num_heads
+        head_dim = dim // num_heads
+        self.scale = head_dim ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+        self.proj = nn.Linear(dim, dim)
+        self.use_rel_pos = use_rel_pos
+        if use_rel_pos:
+            self.rel_pos_h = nn.Parameter(torch.zeros(2 * input_size[0] - 1, head_dim))
+            self.rel_pos_w = nn.Parameter(torch.zeros(2 * input_size[1] - 1, head_dim))
+
+    def forward(self, x):  # (B, H, W, C)
+        B, H, W, _ = x.shape
+        qkv = self.qkv(x).reshape(B, H * W, 3, self.num_heads, -1).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.reshape(3, B * self.num_heads, H * W, -1).unbind(0)
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        if self.use_rel_pos:
+            attn = add_decomposed_rel_pos(attn, q, self.rel_pos_h, self.rel_pos_w,
+                                          (H, W), (H, W))
+        attn = attn.softmax(dim=-1)
+        x = (
+            (attn @ v)
+            .view(B, self.num_heads, H, W, -1)
+            .permute(0, 2, 3, 1, 4)
+            .reshape(B, H, W, -1)
+        )
+        return self.proj(x)
+
+
+def window_partition(x, window_size):
+    B, H, W, C = x.shape
+    pad_h = (window_size - H % window_size) % window_size
+    pad_w = (window_size - W % window_size) % window_size
+    if pad_h > 0 or pad_w > 0:
+        x = F.pad(x, (0, 0, 0, pad_w, 0, pad_h))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.view(B, Hp // window_size, window_size, Wp // window_size, window_size, C)
+    windows = x.permute(0, 1, 3, 2, 4, 5).contiguous().view(-1, window_size, window_size, C)
+    return windows, (Hp, Wp)
+
+
+def window_unpartition(windows, window_size, pad_hw, hw):
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = windows.shape[0] // (Hp * Wp // window_size // window_size)
+    x = windows.view(B, Hp // window_size, Wp // window_size, window_size, window_size, -1)
+    x = x.permute(0, 1, 3, 2, 4, 5).contiguous().view(B, Hp, Wp, -1)
+    if Hp > H or Wp > W:
+        x = x[:, :H, :W, :].contiguous()
+    return x
+
+
+class Block(nn.Module):
+    def __init__(self, dim, num_heads, window_size=0, input_size=None):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = Attention(
+            dim, num_heads, use_rel_pos=True,
+            input_size=input_size if window_size == 0 else (window_size, window_size),
+        )
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = MLPBlock(dim, dim * 4)
+        self.window_size = window_size
+
+    def forward(self, x):
+        shortcut = x
+        x = self.norm1(x)
+        if self.window_size > 0:
+            H, W = x.shape[1], x.shape[2]
+            x, pad_hw = window_partition(x, self.window_size)
+        x = self.attn(x)
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, pad_hw, (H, W))
+        x = shortcut + x
+        return x + self.mlp(self.norm2(x))
+
+
+class PatchEmbed(nn.Module):
+    def __init__(self, in_chans=3, embed_dim=768, patch=16):
+        super().__init__()
+        self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch, stride=patch)
+
+    def forward(self, x):
+        return self.proj(x).permute(0, 2, 3, 1)  # B H W C
+
+
+class ImageEncoderViT(nn.Module):
+    def __init__(self, variant="vit_b", img_size=1024, window=14):
+        super().__init__()
+        dim, depth, heads, global_idx = _VIT_CFG[variant]
+        grid = img_size // 16
+        self.patch_embed = PatchEmbed(3, dim)
+        self.pos_embed = nn.Parameter(torch.zeros(1, grid, grid, dim))
+        self.blocks = nn.ModuleList(
+            Block(dim, heads, window_size=0 if i in global_idx else window,
+                  input_size=(grid, grid))
+            for i in range(depth)
+        )
+        self.neck = nn.Sequential(
+            nn.Conv2d(dim, PROMPT_DIM, 1, bias=False),
+            LayerNorm2d(PROMPT_DIM),
+            nn.Conv2d(PROMPT_DIM, PROMPT_DIM, 3, padding=1, bias=False),
+            LayerNorm2d(PROMPT_DIM),
+        )
+
+    def forward(self, x):  # (B, 3, S, S)
+        x = self.patch_embed(x)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.neck(x.permute(0, 3, 1, 2))  # (B, 256, g, g)
+
+
+class PositionEmbeddingRandom(nn.Module):
+    def __init__(self, num_pos_feats=128):
+        super().__init__()
+        self.register_buffer(
+            "positional_encoding_gaussian_matrix", torch.randn(2, num_pos_feats)
+        )
+
+    def _pe_encoding(self, coords):
+        coords = 2 * coords - 1
+        coords = coords @ self.positional_encoding_gaussian_matrix
+        coords = 2 * math.pi * coords
+        return torch.cat([torch.sin(coords), torch.cos(coords)], dim=-1)
+
+    def forward(self, size: Tuple[int, int]):
+        h, w = size
+        grid = torch.ones(h, w)
+        y_embed = grid.cumsum(0) - 0.5
+        x_embed = grid.cumsum(1) - 0.5
+        y_embed = y_embed / h
+        x_embed = x_embed / w
+        pe = self._pe_encoding(torch.stack([x_embed, y_embed], -1))
+        return pe.permute(2, 0, 1)  # (C, H, W)
+
+
+class PromptEncoder(nn.Module):
+    def __init__(self, embed_dim=PROMPT_DIM):
+        super().__init__()
+        self.pe_layer = PositionEmbeddingRandom(embed_dim // 2)
+        self.point_embeddings = nn.ModuleList(
+            nn.Embedding(1, embed_dim) for _ in range(4)
+        )
+        self.not_a_point_embed = nn.Embedding(1, embed_dim)
+        self.no_mask_embed = nn.Embedding(1, embed_dim)
+        mask_in_chans = 16
+        self.mask_downscaling = nn.Sequential(
+            nn.Conv2d(1, mask_in_chans // 4, kernel_size=2, stride=2),
+            LayerNorm2d(mask_in_chans // 4),
+            nn.GELU(),
+            nn.Conv2d(mask_in_chans // 4, mask_in_chans, kernel_size=2, stride=2),
+            LayerNorm2d(mask_in_chans),
+            nn.GELU(),
+            nn.Conv2d(mask_in_chans, embed_dim, kernel_size=1),
+        )
+
+    def embed_points_01(self, points_01, labels):
+        """points already in [0,1] (pixel-center normalized) — the interface the
+        flax side and the AMG use; arithmetic past normalization is upstream's."""
+        pe = self.pe_layer._pe_encoding(points_01)
+        pe = torch.where(labels[..., None] < 0, torch.zeros_like(pe), pe)
+        pe = pe + torch.where(
+            labels[..., None] < 0, self.not_a_point_embed.weight[0],
+            torch.zeros(pe.shape[-1]),
+        )
+        pe = pe + torch.where(
+            labels[..., None] == 0, self.point_embeddings[0].weight[0],
+            torch.zeros(pe.shape[-1]),
+        )
+        pe = pe + torch.where(
+            labels[..., None] == 1, self.point_embeddings[1].weight[0],
+            torch.zeros(pe.shape[-1]),
+        )
+        return pe
+
+
+class AttentionDec(nn.Module):
+    """Decoder attention with optional internal downsampling."""
+
+    def __init__(self, embedding_dim, num_heads, downsample_rate=1):
+        super().__init__()
+        self.internal_dim = embedding_dim // downsample_rate
+        self.num_heads = num_heads
+        self.q_proj = nn.Linear(embedding_dim, self.internal_dim)
+        self.k_proj = nn.Linear(embedding_dim, self.internal_dim)
+        self.v_proj = nn.Linear(embedding_dim, self.internal_dim)
+        self.out_proj = nn.Linear(self.internal_dim, embedding_dim)
+
+    @staticmethod
+    def _separate_heads(x, num_heads):
+        b, n, c = x.shape
+        return x.reshape(b, n, num_heads, c // num_heads).transpose(1, 2)
+
+    def forward(self, q, k, v):
+        q = self._separate_heads(self.q_proj(q), self.num_heads)
+        k = self._separate_heads(self.k_proj(k), self.num_heads)
+        v = self._separate_heads(self.v_proj(v), self.num_heads)
+        attn = (q @ k.permute(0, 1, 3, 2)) / math.sqrt(q.shape[-1])
+        attn = torch.softmax(attn, dim=-1)
+        out = attn @ v
+        b, nh, n, hd = out.shape
+        out = out.transpose(1, 2).reshape(b, n, nh * hd)
+        return self.out_proj(out)
+
+
+class TwoWayAttentionBlock(nn.Module):
+    def __init__(self, embedding_dim=PROMPT_DIM, num_heads=8, mlp_dim=2048,
+                 skip_first_layer_pe=False):
+        super().__init__()
+        self.self_attn = AttentionDec(embedding_dim, num_heads)
+        self.norm1 = nn.LayerNorm(embedding_dim)
+        self.cross_attn_token_to_image = AttentionDec(embedding_dim, num_heads, 2)
+        self.norm2 = nn.LayerNorm(embedding_dim)
+        self.mlp = MLPBlock(embedding_dim, mlp_dim, act=nn.ReLU)
+        self.norm3 = nn.LayerNorm(embedding_dim)
+        self.norm4 = nn.LayerNorm(embedding_dim)
+        self.cross_attn_image_to_token = AttentionDec(embedding_dim, num_heads, 2)
+        self.skip_first_layer_pe = skip_first_layer_pe
+
+    def forward(self, queries, keys, query_pe, key_pe):
+        if self.skip_first_layer_pe:
+            queries = self.self_attn(queries, queries, queries)
+        else:
+            q = queries + query_pe
+            queries = queries + self.self_attn(q, q, queries)
+        queries = self.norm1(queries)
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = queries + self.cross_attn_token_to_image(q, k, keys)
+        queries = self.norm2(queries)
+        queries = queries + self.mlp(queries)
+        queries = self.norm3(queries)
+        q = queries + query_pe
+        k = keys + key_pe
+        keys = keys + self.cross_attn_image_to_token(k, q, queries)
+        keys = self.norm4(keys)
+        return queries, keys
+
+
+class TwoWayTransformer(nn.Module):
+    def __init__(self, depth=2, embedding_dim=PROMPT_DIM, num_heads=8, mlp_dim=2048):
+        super().__init__()
+        self.layers = nn.ModuleList(
+            TwoWayAttentionBlock(embedding_dim, num_heads, mlp_dim,
+                                 skip_first_layer_pe=(i == 0))
+            for i in range(depth)
+        )
+        self.final_attn_token_to_image = AttentionDec(embedding_dim, num_heads, 2)
+        self.norm_final_attn = nn.LayerNorm(embedding_dim)
+
+    def forward(self, image_embedding, image_pe, point_embedding):
+        # image_embedding (B, C, H, W)
+        b, c, h, w = image_embedding.shape
+        image_embedding = image_embedding.flatten(2).permute(0, 2, 1)
+        image_pe = image_pe.flatten(2).permute(0, 2, 1)
+        queries = point_embedding
+        keys = image_embedding
+        for layer in self.layers:
+            queries, keys = layer(queries, keys, point_embedding, image_pe)
+        q = queries + point_embedding
+        k = keys + image_pe
+        queries = queries + self.final_attn_token_to_image(q, k, keys)
+        queries = self.norm_final_attn(queries)
+        return queries, keys
+
+
+class MLP(nn.Module):
+    def __init__(self, input_dim, hidden_dim, output_dim, num_layers):
+        super().__init__()
+        h = [hidden_dim] * (num_layers - 1)
+        self.layers = nn.ModuleList(
+            nn.Linear(n, k) for n, k in zip([input_dim] + h, h + [output_dim])
+        )
+
+    def forward(self, x):
+        for i, layer in enumerate(self.layers):
+            x = F.relu(layer(x)) if i < len(self.layers) - 1 else layer(x)
+        return x
+
+
+class MaskDecoder(nn.Module):
+    def __init__(self, transformer_dim=PROMPT_DIM, num_multimask_outputs=3):
+        super().__init__()
+        self.num_mask_tokens = num_multimask_outputs + 1
+        self.iou_token = nn.Embedding(1, transformer_dim)
+        self.mask_tokens = nn.Embedding(self.num_mask_tokens, transformer_dim)
+        self.transformer = TwoWayTransformer()
+        self.output_upscaling = nn.Sequential(
+            nn.ConvTranspose2d(transformer_dim, transformer_dim // 4, 2, 2),
+            LayerNorm2d(transformer_dim // 4),
+            nn.GELU(),
+            nn.ConvTranspose2d(transformer_dim // 4, transformer_dim // 8, 2, 2),
+            nn.GELU(),
+        )
+        self.output_hypernetworks_mlps = nn.ModuleList(
+            MLP(transformer_dim, transformer_dim, transformer_dim // 8, 3)
+            for _ in range(self.num_mask_tokens)
+        )
+        self.iou_prediction_head = MLP(transformer_dim, transformer_dim,
+                                       self.num_mask_tokens, 3)
+
+    def forward(self, image_embeddings, image_pe, sparse_prompt, dense_prompt):
+        # image_embeddings (B, C, H, W); sparse (B, P, C); dense (B, C, H, W)
+        output_tokens = torch.cat(
+            [self.iou_token.weight, self.mask_tokens.weight], dim=0
+        )
+        output_tokens = output_tokens.unsqueeze(0).expand(
+            sparse_prompt.shape[0], -1, -1
+        )
+        tokens = torch.cat((output_tokens, sparse_prompt), dim=1)
+        src = image_embeddings + dense_prompt
+        b, c, h, w = src.shape
+        hs, src = self.transformer(src, image_pe, tokens)
+        iou_token_out = hs[:, 0, :]
+        mask_tokens_out = hs[:, 1 : 1 + self.num_mask_tokens, :]
+        src = src.transpose(1, 2).view(b, c, h, w)
+        upscaled = self.output_upscaling(src)
+        hyper_in = torch.stack(
+            [
+                self.output_hypernetworks_mlps[i](mask_tokens_out[:, i, :])
+                for i in range(self.num_mask_tokens)
+            ],
+            dim=1,
+        )
+        b, c, h, w = upscaled.shape
+        masks = (hyper_in @ upscaled.view(b, c, h * w)).view(b, -1, h, w)
+        iou_pred = self.iou_prediction_head(iou_token_out)
+        return masks, iou_pred
+
+
+class Sam(nn.Module):
+    """Wrapper producing the real checkpoint key prefixes (image_encoder.*,
+    prompt_encoder.*, mask_decoder.*)."""
+
+    def __init__(self, variant="vit_b", img_size=1024):
+        super().__init__()
+        self.img_size = img_size
+        self.image_encoder = ImageEncoderViT(variant, img_size)
+        self.prompt_encoder = PromptEncoder()
+        self.mask_decoder = MaskDecoder()
+
+    @torch.no_grad()
+    def forward_points(self, image, points_01, labels):
+        """image (B, 3, S, S) already normalized; points_01 (B, P, 2) in [0,1];
+        labels (B, P).  Returns (masks (B, 4, S/4, S/4), iou (B, 4))."""
+        emb = self.image_encoder(image)
+        sparse = self.prompt_encoder.embed_points_01(points_01, labels)
+        g = emb.shape[-1]
+        image_pe = self.prompt_encoder.pe_layer((g, g)).unsqueeze(0)
+        dense = self.prompt_encoder.no_mask_embed.weight.reshape(1, -1, 1, 1).expand(
+            emb.shape[0], -1, g, g
+        )
+        return self.mask_decoder(emb, image_pe.expand(emb.shape[0], -1, -1, -1),
+                                 sparse, dense)
+
+
+@torch.no_grad()
+def randomize(model: nn.Module, seed: int = 0):
+    g = torch.Generator().manual_seed(seed)
+    for p in model.parameters():
+        p.data = torch.randn(p.shape, generator=g) * 0.04
+    for b in model.buffers():
+        b.data = torch.randn(b.shape, generator=g)
+    model.eval()
+    return model

@@ -136,7 +136,7 @@ def convert_tensor(torch_key: str, arr: np.ndarray, target_shape) -> np.ndarray:
     a = np.asarray(arr)
     ts = tuple(target_shape)
     if a.ndim == 4:
-        if "upsample" in torch_key:
+        if "upsample" in torch_key or "output_upscaling" in torch_key:
             # ConvTranspose2d (I, O, kh, kw) → flax (kh, kw, I, O), spatially
             # flipped (flax ConvTranspose cross-correlates the dilated input;
             # torch convolves — verified in test_conv_transpose_matches_torch)
@@ -356,6 +356,130 @@ def convert_classifier_state_dict(
     if stats_flat:
         variables["batch_stats"] = _unflatten(new_stats)
     return jax.tree.map(lambda x: x, variables), report
+
+
+# ---------------------------------------------------------------------------
+# SAM (segment-anything) key mapping
+# ---------------------------------------------------------------------------
+
+_SAM_RENAMES = [
+    (re.compile(r"^image_encoder\.patch_embed\.proj\."), "image_encoder.patch_embed_proj."),
+    (re.compile(r"^image_encoder\.blocks\.(\d+)\."), r"image_encoder.block_\1."),
+    (re.compile(r"\.mlp\.lin1\."), ".mlp_lin1."),
+    (re.compile(r"\.mlp\.lin2\."), ".mlp_lin2."),
+    (re.compile(r"^image_encoder\.block_(\d+)\.mlp_lin1\."), r"image_encoder.block_\1.mlp_fc1."),
+    (re.compile(r"^image_encoder\.block_(\d+)\.mlp_lin2\."), r"image_encoder.block_\1.mlp_fc2."),
+    (re.compile(r"^image_encoder\.neck\.0\."), "image_encoder.neck_conv1."),
+    (re.compile(r"^image_encoder\.neck\.1\."), "image_encoder.neck_ln1."),
+    (re.compile(r"^image_encoder\.neck\.2\."), "image_encoder.neck_conv2."),
+    (re.compile(r"^image_encoder\.neck\.3\."), "image_encoder.neck_ln2."),
+    (re.compile(r"^prompt_encoder\.point_embeddings\.(\d)\."), r"prompt_encoder.point_embeddings_\1."),
+    (re.compile(r"^prompt_encoder\.mask_downscaling\.0\."), "prompt_encoder.md_conv1."),
+    (re.compile(r"^prompt_encoder\.mask_downscaling\.1\."), "prompt_encoder.md_ln1."),
+    (re.compile(r"^prompt_encoder\.mask_downscaling\.3\."), "prompt_encoder.md_conv2."),
+    (re.compile(r"^prompt_encoder\.mask_downscaling\.4\."), "prompt_encoder.md_ln2."),
+    (re.compile(r"^prompt_encoder\.mask_downscaling\.6\."), "prompt_encoder.md_conv3."),
+    (re.compile(r"^mask_decoder\.transformer\.layers\.(\d+)\."), r"mask_decoder.layers_\1."),
+    (re.compile(r"^mask_decoder\.transformer\."), "mask_decoder."),
+    (re.compile(r"^mask_decoder\.output_upscaling\.0\."), "mask_decoder.up1."),
+    (re.compile(r"^mask_decoder\.output_upscaling\.1\."), "mask_decoder.up_ln."),
+    (re.compile(r"^mask_decoder\.output_upscaling\.3\."), "mask_decoder.up2."),
+    (re.compile(r"^mask_decoder\.output_hypernetworks_mlps\.(\d)\.layers\.(\d)\."),
+     r"mask_decoder.hyper_\1.layers_\2."),
+    (re.compile(r"^mask_decoder\.iou_prediction_head\.layers\.(\d)\."),
+     r"mask_decoder.iou_head.layers_\1."),
+    # iou/mask tokens are direct params on the flax side (no .weight scope)
+    (re.compile(r"^mask_decoder\.iou_token\.weight$"), "mask_decoder.iou_token"),
+    (re.compile(r"^mask_decoder\.mask_tokens\.weight$"), "mask_decoder.mask_tokens"),
+]
+
+
+def _sam_resize_pos_embed(arr: np.ndarray, target_shape) -> np.ndarray:
+    """(1, g0, g0, C) → (1, g, g, C) bicubic grid interpolation (ViT convention)
+    for loading 1024-trained checkpoints into smaller-geometry models."""
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(np.asarray(arr, np.float32)).permute(0, 3, 1, 2)
+    t = F.interpolate(
+        t, size=tuple(target_shape[1:3]), mode="bicubic", align_corners=False
+    )
+    return t.permute(0, 2, 3, 1).numpy()
+
+
+def _sam_resize_rel_pos(arr: np.ndarray, target_len: int) -> np.ndarray:
+    """(L0, hd) → (L, hd) linear interpolation — exactly segment-anything's
+    get_rel_pos rescale (F.interpolate mode='linear')."""
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(np.asarray(arr, np.float32))
+    t = F.interpolate(
+        t.reshape(1, t.shape[0], -1).permute(0, 2, 1), size=target_len, mode="linear"
+    )
+    return t.reshape(-1, target_len).permute(1, 0).numpy()
+
+
+def convert_sam_state_dict(
+    sd: Dict[str, np.ndarray], template_variables, strict: bool = False
+):
+    """Real segment-anything ``sam_vit_*.pth`` state dict → flax SAM variables.
+
+    Handles the full checkpoint: encoder (incl. decomposed rel-pos tables and
+    pos_embed, interpolated when the flax model runs a smaller img_size),
+    prompt encoder (point/mask embeddings, PE gaussian matrix), and the
+    two-way-transformer mask decoder.  Reference loading site:
+    /root/reference/yolo_seg/utils/segment_anything.py:79-80.
+    """
+    import jax
+
+    params_flat = _flatten(dict(template_variables["params"]))
+    new_params = dict(params_flat)
+    unmatched, filled = [], set()
+
+    for tkey, arr in sd.items():
+        k = tkey
+        for pat, repl in _SAM_RENAMES:
+            k = pat.sub(repl, k)
+        parts = tuple(k.split("."))
+        leaf = parts[-1]
+        path = parts[:-1]
+        a = np.asarray(arr)
+
+        candidates = []
+        if leaf == "weight":
+            candidates = [path + ("kernel",), path + ("scale",), path + ("weight",)]
+        elif leaf == "bias":
+            candidates = [path + ("bias",)]
+        else:
+            candidates = [parts]  # direct param (pos_embed, rel_pos_*, tokens, pe matrix)
+
+        placed = False
+        for target in candidates:
+            if target not in params_flat:
+                continue
+            tshape = params_flat[target].shape
+            if leaf == "pos_embed" and a.shape != tuple(tshape):
+                a = _sam_resize_pos_embed(a, tshape)
+            elif leaf in ("rel_pos_h", "rel_pos_w") and a.shape != tuple(tshape):
+                a = _sam_resize_rel_pos(a, tshape[0])
+            new_params[target] = convert_tensor(tkey, a, tshape).astype(
+                np.asarray(params_flat[target]).dtype
+            )
+            filled.add(target)
+            placed = True
+            break
+        if not placed:
+            unmatched.append(tkey)
+
+    unfilled = [p for p in params_flat if p not in filled]
+    report = {"unmatched_torch_keys": unmatched, "unfilled_flax_leaves": unfilled}
+    if strict and (unmatched or unfilled):
+        raise ValueError(f"conversion mismatch: {report}")
+    return (
+        jax.tree.map(lambda x: x, {"params": _unflatten(new_params)}),
+        report,
+    )
 
 
 _INV_HEAD_NESTED = re.compile(r"(one2one_)?cv([234])_(\d+)\.c(\d+)_(\d+)\.")
