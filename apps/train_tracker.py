@@ -45,6 +45,13 @@ def main(argv=None):
         "--detector_scale", default="s",
         help="frozen YOLO backbone scale for --shared (n/s/m/l/x)",
     )
+    parser.add_argument(
+        "--clips", default="mixed", choices=["bars", "mixed"],
+        help="training clip distribution: 'bars' = original axis-aligned "
+        "moving bars; 'mixed' = domain-randomized (textured backgrounds, "
+        "rotated shrinking needle-like objects) — closes the generalization "
+        "gap measured by tools/eval_tracker_quality.py",
+    )
     args = parser.parse_args(argv)
 
     pyr_channels = (128, 256, 512)
@@ -67,9 +74,14 @@ def main(argv=None):
         from yolo_puncture_tpu.track.train import make_yolo_pyramid_fn
 
         pyramid_fn, _ = make_yolo_pyramid_fn(scale=args.detector_scale, seed=0)
+    clip_fn = None
+    if args.clips == "mixed":
+        from yolo_puncture_tpu.track.train import make_domain_randomized_clip
+
+        clip_fn = make_domain_randomized_clip
     trainer = PropagationTrainer(
         core, lr=args.lr, clip_len=args.clip_len, batch_size=args.batch,
-        pyramid_fn=pyramid_fn,
+        pyramid_fn=pyramid_fn, clip_fn=clip_fn,
     )
     iou0 = trainer.eval_propagation_iou(args.eval_clips)
     print(f"propagation IoU before: {iou0:.3f}")

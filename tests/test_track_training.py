@@ -35,6 +35,23 @@ def test_synthetic_clip_shapes():
     assert masks[0].sum() > 0  # at least one object
 
 
+def test_domain_randomized_clip_contract():
+    """Same (images, onehot) contract as make_synthetic_clip, plus occlusion
+    exclusivity: later-painted objects own the overlap pixels."""
+    from yolo_puncture_tpu.track.train import make_domain_randomized_clip
+
+    rng = np.random.default_rng(1)
+    for _ in range(6):  # sample across background/object modes
+        imgs, masks = make_domain_randomized_clip(rng, T=4, h=32, w=48, max_objects=3)
+        assert imgs.shape == (4, 32, 48, 3)
+        assert masks.shape == (4, 3, 32, 48)
+        assert imgs.dtype == np.float32 and masks.dtype == np.float32
+        assert imgs.min() >= 0 and imgs.max() <= 1
+        assert masks[0].sum() > 0
+        # exclusive masks: no pixel belongs to two objects
+        assert masks.sum(axis=1).max() <= 1.0 + 1e-6
+
+
 @pytest.mark.parametrize("scale", ["n", "s"])
 def test_pyramid_channels_match_backbone(scale):
     """pyramid_channels_for must report the channels the real backbone emits —

@@ -53,6 +53,79 @@ def make_synthetic_clip(
     return images, masks
 
 
+def make_domain_randomized_clip(
+    rng: np.random.Generator,
+    T: int = 4,
+    h: int = 64,
+    w: int = 96,
+    max_objects: int = 2,
+):
+    """Domain-randomized clips: textured/drifting or dark backgrounds, rotated
+    elongated (needle-like) or axis-aligned objects, translation + rotation +
+    optional length shrink (insertion motion), per-frame illumination jitter.
+
+    Closes the generalization gap measured by tools/eval_tracker_quality.py:
+    the original moving-bar distribution (make_synthetic_clip) transfers at
+    ~0.08 IoU to textured rotated-needle footage.  Returns the same
+    (images (T,h,w,3) float[0,1], onehot (T,No,h,w)) contract."""
+    n_obj = int(rng.integers(1, max_objects + 1))
+    # background
+    if rng.random() < 0.45:
+        base = np.full((h + 32, w + 32, 3), rng.uniform(0.0, 0.2), np.float32)
+        base += rng.uniform(0, 0.1, size=base.shape).astype(np.float32)
+    else:
+        base = rng.uniform(0.15, 0.65, size=(h + 32, w + 32, 3)).astype(np.float32)
+        # cheap 2-pass box smoothing via cumsum (no scipy in the hot sampler)
+        k = int(rng.integers(4, 10))
+        for ax in (0, 1):
+            c = np.cumsum(base, axis=ax)
+            lo = np.roll(c, k, axis=ax)
+            idx = [slice(None)] * 3
+            idx[ax] = slice(0, k)
+            lo[tuple(idx)] = 0
+            base = (c - lo) / k
+    gy = np.linspace(0, rng.uniform(0, 0.2), h + 32)[:, None, None]
+    base = np.clip(base + gy, 0, 1).astype(np.float32)
+    drift = (int(rng.integers(0, 3)), int(rng.integers(0, 3)))
+
+    images = np.zeros((T, h, w, 3), np.float32)
+    masks = np.zeros((T, max_objects, h, w), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    objs = []
+    for _ in range(n_obj):
+        objs.append(dict(
+            cx=w * rng.uniform(0.25, 0.75), cy=h * rng.uniform(0.25, 0.75),
+            angle=rng.uniform(-0.7, 0.7) if rng.random() < 0.7 else 0.0,
+            length=min(h, w) * rng.uniform(0.3, 0.85),
+            width=min(h, w) * rng.uniform(0.05, 0.3),
+            vx=rng.uniform(-3, 3), vy=rng.uniform(-2, 2),
+            va=rng.uniform(-0.03, 0.03),
+            shrink=rng.uniform(0.0, 0.05) if rng.random() < 0.5 else 0.0,
+            color=rng.uniform(0.55, 1.0, size=3),
+        ))
+
+    for t in range(T):
+        oy = (drift[1] * t) % 32
+        ox = (drift[0] * t) % 32
+        img = base[oy:oy + h, ox:ox + w].copy()
+        img *= rng.uniform(0.9, 1.1)
+        frame_ids = np.zeros((h, w), np.int32)  # later objects occlude earlier
+        for o, p in enumerate(objs):
+            a = p["angle"] + p["va"] * t
+            ca, sa = np.cos(a), np.sin(a)
+            lcur = p["length"] * max(1.0 - p["shrink"] * t, 0.3)
+            u = (xx - (p["cx"] + p["vx"] * t)) * ca + (yy - (p["cy"] + p["vy"] * t)) * sa
+            v = -(xx - (p["cx"] + p["vx"] * t)) * sa + (yy - (p["cy"] + p["vy"] * t)) * ca
+            m = (np.abs(u) < lcur / 2) & (np.abs(v) < p["width"] / 2)
+            img[m] = p["color"] * rng.uniform(0.95, 1.05)
+            frame_ids[m] = o + 1
+        for o in range(n_obj):
+            masks[t, o] = (frame_ids == o + 1).astype(np.float32)
+        images[t] = np.clip(img, 0, 1)
+    return images, masks
+
+
 def build_propagation_loss(core: TrackerCore, pyramid_fn=None):
     """loss(variables, images (T,H,W,3), onehot (T,No,H,W), valid (No,)) → scalar.
 
@@ -177,12 +250,14 @@ class PropagationTrainer:
         batch_size: int = 1,
         seed: int = 0,
         pyramid_fn=None,
+        clip_fn=None,
     ):
         self.core = core
         self.clip_len = clip_len
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.pyramid_fn = pyramid_fn
+        self.clip_fn = clip_fn or make_synthetic_clip
         # Optimize ONLY the 'params' collection: BN running statistics
         # (batch_stats) receive nonzero grads through the use_running_average
         # forward and must not be Adam-updated (they are statistics, and the
@@ -219,7 +294,7 @@ class PropagationTrainer:
         No = self.core.max_objects
         imgs, msks, valids = [], [], []
         for _ in range(self.batch_size):
-            images, masks = make_synthetic_clip(
+            images, masks = self.clip_fn(
                 self.rng, self.clip_len, h, w, max_objects=No
             )
             imgs.append(images)
@@ -264,7 +339,7 @@ class PropagationTrainer:
             )
         ious = []
         for _ in range(n_clips):
-            images, masks = make_synthetic_clip(self.rng, self.clip_len, h, w, No)
+            images, masks = self.clip_fn(self.rng, self.clip_len, h, w, No)
             obj_valid = (masks.sum((0, 2, 3)) > 0)
             mem = self.core.memory
             if self.pyramid_fn is not None:
