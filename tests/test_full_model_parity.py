@@ -100,6 +100,158 @@ def test_v10n_detect_full_parity():
     _parity_case("v10", "n", "detect")
 
 
+def _reference_postprocess(tm, frame_bgr, imgsz, conf_th, iou_th, max_det=12):
+    """Independent numpy implementation of the ultralytics predict postprocess
+    (square letterbox → forward → conf filter → class-aware NMS → scale_boxes →
+    process_mask_native retina path).  Mirrors SURVEY.md §3.4."""
+    import cv2
+
+    h0, w0 = frame_bgr.shape[:2]
+    r = min(imgsz / h0, imgsz / w0)
+    new_w, new_h = round(w0 * r), round(h0 * r)
+    resized = cv2.resize(frame_bgr, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    dw, dh = (imgsz - new_w) / 2, (imgsz - new_h) / 2
+    top, bot = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    img = cv2.copyMakeBorder(resized, top, bot, left, right,
+                             cv2.BORDER_CONSTANT, value=(114, 114, 114))
+    x = img[:, :, ::-1].astype(np.float32) / 255.0
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x.transpose(2, 0, 1)[None]))
+    boxes = out["boxes"][0].numpy()
+    probs = out["probs"][0].numpy()
+    coeffs = out["coeffs"][0].numpy()
+    protos = out["proto"][0].numpy()  # (nm, Hp, Wp)
+
+    scores = probs.max(1)
+    keep = scores > conf_th
+    boxes, scores, coeffs = boxes[keep], scores[keep], coeffs[keep]
+    order = np.argsort(-scores, kind="stable")
+    kept = []
+    for i in order:
+        ok = True
+        for j in kept:
+            xx1 = max(boxes[i, 0], boxes[j, 0]); yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2]); yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a + b - inter, 1e-9) > iou_th:
+                ok = False
+                break
+        if ok:
+            kept.append(i)
+        if len(kept) >= max_det:
+            break
+    boxes, scores, coeffs = boxes[kept], scores[kept], coeffs[kept]
+
+    # boxes → original coords
+    ob = boxes.copy()
+    ob[:, [0, 2]] -= dw
+    ob[:, [1, 3]] -= dh
+    ob /= r
+    ob[:, [0, 2]] = ob[:, [0, 2]].clip(0, w0)
+    ob[:, [1, 3]] = ob[:, [1, 3]].clip(0, h0)
+
+    # masks: native (retina) path — sigmoid proto decode, remove pad at proto
+    # scale, bilinear to original res, crop by box, threshold
+    nm, Hp, Wp = protos.shape
+    logits = coeffs @ protos.reshape(nm, -1)
+    m = 1.0 / (1.0 + np.exp(-logits.reshape(-1, Hp, Wp)))
+    s = Hp / imgsz  # proto scale
+    y1p, y2p = int(round(top * s)), Hp - int(round(bot * s))
+    x1p, x2p = int(round(left * s)), Wp - int(round(right * s))
+    masks = []
+    for k in range(len(m)):
+        crop = m[k, y1p:y2p, x1p:x2p]
+        full = cv2.resize(crop, (w0, h0), interpolation=cv2.INTER_LINEAR)
+        bx = ob[k]
+        yy, xx = np.mgrid[0:h0, 0:w0]
+        inside = (xx >= bx[0]) & (xx < bx[2]) & (yy >= bx[1]) & (yy < bx[3])
+        masks.append((full > 0.5) & inside)
+    return ob, scores, (np.stack(masks) if masks else np.zeros((0, h0, w0), bool))
+
+
+def test_v8n_seg_predict_e2e_parity():
+    """End-to-end .predict parity on a frame: letterbox → forward → NMS →
+    rescale → retina mask decode, vs the independent reference postprocess."""
+    import jax.numpy as jnp
+
+    from yolo_puncture_tpu.predict import YOLO
+
+    tm = randomize(YOLOTorch(version="v8", scale="n", nc=1, task="segment"), seed=3)
+    # shape the DFL logits toward SMALL distances with spatial variety: random
+    # weights otherwise regress huge boxes that all clip to the full frame,
+    # collapsing NMS into a degenerate fixture
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(9)
+        for seq in tm.model[-1].cv2:
+            final = seq[2]
+            final.weight.data = torch.randn(final.weight.shape, generator=g) * 0.4
+            bias = torch.randn(final.bias.shape, generator=g) * 0.3
+            for side in range(4):
+                bias[side * 16 : (side + 1) * 16] -= 0.7 * torch.arange(16.0)
+            final.bias.data = bias
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    imgsz = 256
+    det = YOLO("yolov8n-seg", nc=1, dtype=jnp.float32)
+    template = det.model.init(jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3)))
+    variables, report = convert_yolo_state_dict(sd, template, strict=False)
+    assert not report["unmatched_torch_keys"] and not report["unfilled_flax_leaves"]
+    det.variables = variables
+
+    rng = np.random.default_rng(5)
+    frame = rng.integers(0, 255, size=(200, 320, 3), dtype=np.uint8)
+    conf_th, iou_th = 0.3, 0.7
+
+    r = det.predict(frame, conf=conf_th, iou=iou_th, imgsz=imgsz,
+                    retina_masks=True)[0]
+    ours_boxes = np.asarray(r.boxes.xyxy)
+    ours_scores = np.asarray(r.boxes.conf)
+    ref_boxes, ref_scores, ref_masks = _reference_postprocess(
+        tm, frame, imgsz, conf_th, iou_th, max_det=len(ours_boxes) or 12
+    )
+
+    n = min(len(ours_boxes), len(ref_boxes))
+    assert n >= 3, "fixture produced too few detections — raise seed variance"
+    assert abs(len(ours_boxes) - len(ref_boxes)) <= 2  # NMS tie-break slack
+
+    # set-based matching (near-equal scores may swap list order between the
+    # two NMS implementations without any numerical disagreement)
+    pairs, used = [], set()
+    for k in range(len(ref_boxes)):
+        for j in range(len(ours_boxes)):
+            if j in used:
+                continue
+            if (abs(float(ours_scores[j]) - float(ref_scores[k])) < 1e-3
+                    and np.allclose(ours_boxes[j], ref_boxes[k], atol=1.5)):
+                used.add(j)
+                pairs.append((j, k))
+                break
+    assert len(pairs) >= 0.85 * n, (
+        f"only {len(pairs)}/{n} detections matched between the pipelines"
+    )
+
+    if r.masks is not None:
+        ours_masks = np.asarray(r.masks.data).astype(bool)
+        checked = 0
+        for j, k in pairs:
+            inter = (ours_masks[j] & ref_masks[k]).sum()
+            union = (ours_masks[j] | ref_masks[k]).sum()
+            # skip slivers: for masks of a few hundred pixels the two
+            # pipelines' crop/resize ORDER (ours crops at letterbox res then
+            # pastes; ultralytics resizes then crops) moves enough boundary
+            # pixels to dominate IoU without any numerical disagreement
+            if union >= 500:
+                checked += 1
+                assert inter / union > 0.9, (
+                    f"pair {(j, k)} mask IoU {inter / union:.3f} "
+                    "(crop/resize-order boundary drift should stay <10%)"
+                )
+        assert checked >= 3, "too few substantial masks compared"
+
+
 @pytest.mark.slow
 def test_v10s_seg_full_parity():
     """YOLOv10-S seg — the BASELINE flagship configuration."""

@@ -197,7 +197,8 @@ def main():
     if args.quick:
         configs = configs[:2]
     elif os.path.exists(args.shared_weights):
-        pyr_fn = make_yolo_pyramid_fn("v10", "s", dtype=jnp.float32)(None)
+        # seed=0 matches the frozen backbone the shared checkpoint trained against
+        pyr_fn, _ = make_yolo_pyramid_fn("v10", "s", seed=0, dtype=jnp.float32)
         shared_core = TrackerCore(
             variables=args.shared_weights, pyramid_adapter=True,
             pyramid_channels=pyramid_channels_for("v10", "s"), **base_kw,

@@ -77,6 +77,7 @@ def decode_masks(
     img_hw: Tuple[int, int],
     upsample: bool = True,
     threshold: Optional[float] = 0.5,
+    crop: bool = True,
 ) -> jax.Array:
     """Decode instance masks at letterboxed-image resolution.
 
@@ -106,8 +107,9 @@ def decode_masks(
     masks = jax.nn.sigmoid(logits).astype(cdtype)
     if upsample and (Hp, Wp) != (H, W):
         masks = upsample_bilinear_matmul(masks, H, W)
-        masks = crop_masks(masks, boxes.astype(cdtype))
-    else:
+        if crop:
+            masks = crop_masks(masks, boxes.astype(cdtype))
+    elif crop:
         scale = jnp.array([Wp / W, Hp / H, Wp / W, Hp / H], dtype=cdtype)
         masks = crop_masks(masks, boxes.astype(cdtype) * scale)
     if threshold is not None:

@@ -170,22 +170,31 @@ class YOLO:
                 mboxes = det["boxes"][:, :max_masks]
                 masks_lb = decode_masks(
                     out["proto"], coeffs, mboxes, (imgsz, imgsz),
-                    upsample=retina, threshold=None,
+                    upsample=False, threshold=None, crop=not retina,
                 )
-                result["masks"] = _paste(masks_lb)
+                result["masks"] = _paste(masks_lb, result["boxes"][:, :max_masks])
                 # kept ON DEVICE (not fetched) for the rare >max_masks overflow
                 result["proto"] = out["proto"]
                 result["coeffs"] = det["coeffs"]
             return result
 
-        def _paste(masks_lb):
-            if retina:
-                return ((paste_masks_to_original(masks_lb, r, pad, (h0, w0))) > 0.5).astype(jnp.uint8)
-            # masks are at proto (stride-4) resolution → pad/ratio scale by 4
+        def _paste(masks_p, boxes_orig):
+            """masks_p at PROTO (stride-4) resolution → original-frame binary.
+
+            retina (ultralytics process_mask_native semantics): ONE resample —
+            slice the letterbox content at proto scale, bilinear straight to
+            the original resolution, crop at ORIGINAL coords, threshold.  The
+            old proto→letterbox→original double-resample cost an extra
+            (N, imgsz, imgsz) intermediate and drifted mask boundaries ~10%
+            IoU on thin instances vs the reference pipeline.
+            Non-retina: masks arrive box-cropped at proto res already."""
             pad4 = (round(pad[0] / 4), round(pad[1] / 4))
-            return (
-                paste_masks_to_original(masks_lb, r / 4, pad4, (h0, w0)) > 0.5
-            ).astype(jnp.uint8)
+            full = paste_masks_to_original(masks_p, r / 4, pad4, (h0, w0))
+            if retina:
+                from yolo_puncture_tpu.ops.masks import crop_masks
+
+                full = crop_masks(full, boxes_orig.astype(full.dtype))
+            return (full > 0.5).astype(jnp.uint8)
 
         overflow = None
         if task == "segment":
@@ -206,9 +215,10 @@ class YOLO:
                 bb = jax.lax.dynamic_slice_in_dim(bpad, start, max_masks)
                 masks_lb = decode_masks(
                     proto_b[None], cc[None], bb[None], (imgsz, imgsz),
-                    upsample=retina, threshold=None,
+                    upsample=False, threshold=None, crop=not retina,
                 )
-                return _paste(masks_lb)[0]
+                bb_orig = scale_boxes(bb[None], r, pad, (h0, w0))
+                return _paste(masks_lb, bb_orig)[0]
 
         self._compiled[key] = (run, overflow)
         return self._compiled[key]
