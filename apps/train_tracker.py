@@ -46,6 +46,20 @@ def main(argv=None):
         help="frozen YOLO backbone scale for --shared (n/s/m/l/x)",
     )
     parser.add_argument(
+        "--backbone_init", default=None,
+        help="flax msgpack of TRAINED detector variables for the frozen "
+        "--shared backbone (e.g. tools/e2e_accuracy_eval.py --save_det); a "
+        "random backbone's features do not generalize — scale must match "
+        "--detector_scale",
+    )
+    parser.add_argument(
+        "--window_mix", type=float, default=0.0,
+        help="fraction of steps trained through the WINDOWED propagation "
+        "program (exposure consistency for the batched serving path); "
+        "requires (clip_len-1) %% window == 0",
+    )
+    parser.add_argument("--window", type=int, default=4)
+    parser.add_argument(
         "--clips", default="mixed", choices=["bars", "mixed"],
         help="training clip distribution: 'bars' = original axis-aligned "
         "moving bars; 'mixed' = domain-randomized (textured backgrounds, "
@@ -73,7 +87,22 @@ def main(argv=None):
     if args.shared:
         from yolo_puncture_tpu.track.train import make_yolo_pyramid_fn
 
-        pyramid_fn, _ = make_yolo_pyramid_fn(scale=args.detector_scale, seed=0)
+        bvars = None
+        if args.backbone_init:
+            from flax import serialization
+
+            from yolo_puncture_tpu.models.yolo import YOLOModel
+
+            m = YOLOModel(version="v10", scale=args.detector_scale, nc=1,
+                          task="segment")
+            template = jax.jit(m.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+            )
+            with open(args.backbone_init, "rb") as f:
+                bvars = serialization.from_bytes(template, f.read())
+        pyramid_fn, _ = make_yolo_pyramid_fn(
+            scale=args.detector_scale, seed=0, variables=bvars
+        )
     clip_fn = None
     if args.clips == "mixed":
         from yolo_puncture_tpu.track.train import make_domain_randomized_clip
@@ -82,6 +111,7 @@ def main(argv=None):
     trainer = PropagationTrainer(
         core, lr=args.lr, clip_len=args.clip_len, batch_size=args.batch,
         pyramid_fn=pyramid_fn, clip_fn=clip_fn,
+        window_mix=args.window_mix, window=args.window,
     )
     iou0 = trainer.eval_propagation_iou(args.eval_clips)
     print(f"propagation IoU before: {iou0:.3f}")

@@ -21,3 +21,50 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # NOTE: no persistent compile cache here — XLA:CPU AOT reload warns about machine
 # feature mismatches on this host (risk of SIGILL); CPU test graphs are small.
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Smoke tier: `pytest -m "not slow"` must stay fast on a 2-vCPU box.
+# Tests measured >≈60 s (full-suite --durations run, 2026-08-20) are marked
+# slow here centrally — big-model compiles, training loops, CLI E2E drives.
+# The full suite (including these) is the pre-round gate; the smoke tier is
+# the inner development loop.
+# ---------------------------------------------------------------------------
+_SLOW_NODE_PATTERNS = (
+    "test_finetune.py::test_classifier_finetune_learns",
+    "test_finetune.py::test_unet_finetune_learns",
+    "test_cli_train_val.py::test_train_two_steps",
+    "test_cli_train_val.py::test_export_saved_model_roundtrip",
+    "test_cli_train_val.py::test_export_tflite_v10_and_v8_guard",
+    "test_cli_train_val.py::test_export_msgpack",
+    "test_cli_train_val.py::test_predict_cmd",
+    "test_cli_train_val.py::test_val_runs",
+    "test_pipeline.py::test_pipeline_runs_end_to_end",
+    "test_apps.py::test_auto_speed_calc_cli",
+    "test_apps.py::test_track_video_cli",
+    "test_apps.py::test_track_video_cli_batch_propagation",
+    "test_apps.py::test_app_yolo_inference_image_mode",
+    "test_parallel.py::test_trainer_resume_and_ema",
+    "test_predictor.py::test_one_mask_per_box_beyond_max_masks",
+    "test_golden.py::test_forward_matches_golden",
+    "test_quant.py::test_int8_model_forward_tracks_fp",
+    "test_quant.py::test_int8_predictor_end_to_end",
+    "test_quant.py::test_calibrated_predictor_end_to_end",
+    "test_multivideo.py::test_interleaved_matches_sequential",
+    "test_multivideo.py::test_mixed_resolution_falls_back",
+    "test_classifiers.py::test_efficientnet_forward_softmax_contract",
+    "test_classifiers.py::test_classifier_task_api",
+    "test_full_model_parity.py::test_v8n_seg_predict_e2e_parity",
+    "test_convert_roundtrip.py::test_full_roundtrip_lossless",
+    "test_sam_tools.py::test_dataset_gen",
+    "test_track.py::test_windowed_propagation_quality",
+    "test_track_training.py::test_propagation_training_improves_iou",
+    "test_track_training.py::test_shared_backbone_training_loss_drops",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(p in item.nodeid for p in _SLOW_NODE_PATTERNS):
+            item.add_marker(pytest.mark.slow)

@@ -35,6 +35,46 @@ def test_synthetic_clip_shapes():
     assert masks[0].sum() > 0  # at least one object
 
 
+def test_windowed_loss_finite_and_differentiable():
+    """build_windowed_propagation_loss: rollout through propagate_window gives
+    a finite loss and nonzero grads (exposure consistency for the batched
+    serving path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_puncture_tpu.track.core import TrackerCore
+    from yolo_puncture_tpu.track.train import (
+        build_windowed_propagation_loss,
+        make_synthetic_clip,
+    )
+
+    core = TrackerCore(image_size=(32, 48), max_objects=2, mem_frames=4,
+                       mem_every=2, enable_long_term=False)
+    loss_fn = build_windowed_propagation_loss(core, window=2)
+    rng = np.random.default_rng(0)
+    images, masks = make_synthetic_clip(rng, T=5, h=32, w=48, max_objects=2)
+    obj_valid = (masks.sum((0, 2, 3)) > 0).astype(np.float32)
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        core.variables, jnp.asarray(images), jnp.asarray(masks),
+        jnp.asarray(obj_valid),
+    )
+    assert np.isfinite(float(loss))
+    gnorm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["params"])
+    )
+    assert gnorm > 0, "windowed rollout produced zero gradients"
+
+
+def test_trainer_window_mix_validation():
+    from yolo_puncture_tpu.track.core import TrackerCore
+    from yolo_puncture_tpu.track.train import PropagationTrainer
+
+    core = TrackerCore(image_size=(32, 48), max_objects=2, mem_frames=4,
+                       mem_every=2, enable_long_term=False)
+    with pytest.raises(ValueError, match="multiple of"):
+        PropagationTrainer(core, clip_len=4, window_mix=0.5, window=4)
+
+
 def test_domain_randomized_clip_contract():
     """Same (images, onehot) contract as make_synthetic_clip, plus occlusion
     exclusivity: later-painted objects own the overlap pixels."""

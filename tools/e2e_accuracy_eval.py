@@ -161,6 +161,10 @@ def main():
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--save_det", default=None,
+                    help="save the trained detector variables (flax msgpack) — "
+                    "e.g. as a TRAINED backbone for shared-pyramid tracker "
+                    "training (apps/train_tracker.py --shared --backbone_init)")
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "e2e_accuracy.md"))
     args = ap.parse_args()
     if args.quick:
@@ -176,6 +180,12 @@ def main():
     ]
 
     det = train_detector(train_videos, steps=args.det_steps, seed=args.seed)
+    if args.save_det:
+        from flax import serialization
+
+        with open(args.save_det, "wb") as f:
+            f.write(serialization.to_bytes(det.variables))
+        print(f"saved trained detector variables → {args.save_det}", flush=True)
     crop_size = 96
     cls_net = train_classifier(train_videos, crop_size, epochs=args.cls_epochs,
                                seed=args.seed)

@@ -126,6 +126,44 @@ def make_domain_randomized_clip(
     return images, masks
 
 
+def build_windowed_propagation_loss(core: TrackerCore, window: int):
+    """Like build_propagation_loss but rolls out through the WINDOWED
+    propagation program (propagate_window: batched readout/decode against the
+    window-start memory, deep-update-at-write) so the windowed serving path is
+    exposure-consistent with training.  Requires (T-1) % window == 0."""
+
+    def loss_fn(variables, images, onehot, obj_valid):
+        T = images.shape[0]
+        assert (T - 1) % window == 0, "clip_len-1 must be a multiple of window"
+        obj_valid_b = obj_valid > 0.5
+        prob0, memory, _ = core._incorporate_impl(
+            variables, core.memory, images[0], onehot[0], obj_valid_b
+        )
+
+        def ce_of(prob, m_t):
+            gt_fg = m_t * obj_valid[:, None, None]
+            gt_bg = jnp.clip(1.0 - gt_fg.sum(0, keepdims=True), 0.0, 1.0)
+            gt = jnp.concatenate([gt_bg, gt_fg], axis=0)
+            gt = gt / jnp.maximum(gt.sum(0, keepdims=True), 1e-6)
+            return -(gt * jnp.log(jnp.clip(prob, 1e-6, 1.0))).sum(0).mean()
+
+        n_win = (T - 1) // window
+        imgs_w = images[1:].reshape(n_win, window, *images.shape[1:])
+        masks_w = onehot[1:].reshape(n_win, window, *onehot.shape[1:])
+
+        def step(carry, inp):
+            memory, total = carry
+            img_w, m_w = inp
+            probs, memory = core._window_impl(variables, memory, img_w)
+            ce = jax.vmap(ce_of)(probs, m_w).sum()
+            return (memory, total + ce), ce
+
+        (memory, total), _ = jax.lax.scan(step, (memory, 0.0), (imgs_w, masks_w))
+        return total / (T - 1)
+
+    return loss_fn
+
+
 def build_propagation_loss(core: TrackerCore, pyramid_fn=None):
     """loss(variables, images (T,H,W,3), onehot (T,No,H,W), valid (No,)) → scalar.
 
@@ -251,6 +289,8 @@ class PropagationTrainer:
         seed: int = 0,
         pyramid_fn=None,
         clip_fn=None,
+        window_mix: float = 0.0,
+        window: int = 4,
     ):
         self.core = core
         self.clip_len = clip_len
@@ -258,6 +298,12 @@ class PropagationTrainer:
         self.rng = np.random.default_rng(seed)
         self.pyramid_fn = pyramid_fn
         self.clip_fn = clip_fn or make_synthetic_clip
+        # window_mix > 0: that fraction of steps trains through the WINDOWED
+        # propagation program so the batched serving path (bench/step_batch)
+        # stays exposure-consistent — per-frame-only fine-tuning measurably
+        # regresses windowed quality (test_windowed_propagation_quality)
+        self.window_mix = float(window_mix)
+        self.window = int(window)
         # Optimize ONLY the 'params' collection: BN running statistics
         # (batch_stats) receive nonzero grads through the use_running_average
         # forward and must not be Adam-updated (they are statistics, and the
@@ -287,6 +333,33 @@ class PropagationTrainer:
             return variables, opt_state, loss
 
         self._train_step = train_step
+        self._train_step_win = None
+        if self.window_mix > 0:
+            if pyramid_fn is not None:
+                raise ValueError("window_mix training is for the self-contained "
+                                 "encoder path (pyramid_fn=None)")
+            if (clip_len - 1) % self.window:
+                raise ValueError(
+                    f"clip_len-1 ({clip_len - 1}) must be a multiple of "
+                    f"window ({self.window}) for windowed rollouts"
+                )
+            wloss = build_windowed_propagation_loss(core, self.window)
+
+            def batched_wloss(variables, images, onehot, obj_valid):
+                return jax.vmap(wloss, in_axes=(None, 0, 0, 0))(
+                    variables, images, onehot, obj_valid
+                ).mean()
+
+            @jax.jit
+            def train_step_win(variables, opt_state, images, onehot, obj_valid):
+                loss, grads = jax.value_and_grad(batched_wloss)(
+                    variables, images, onehot, obj_valid
+                )
+                updates, opt_state = self.tx.update(grads, opt_state)
+                variables = optax.apply_updates(variables, updates)
+                return variables, opt_state, loss
+
+            self._train_step_win = train_step_win
         self.opt_state = self.tx.init(core.variables)
 
     def _sample_batch(self):
@@ -311,7 +384,10 @@ class PropagationTrainer:
         last = None
         for i in range(steps):
             images, onehot, obj_valid = self._sample_batch()
-            variables, self.opt_state, loss = self._train_step(
+            step_fn = self._train_step
+            if self._train_step_win is not None and self.rng.random() < self.window_mix:
+                step_fn = self._train_step_win
+            variables, self.opt_state, loss = step_fn(
                 variables, self.opt_state, images, onehot, obj_valid
             )
             last = float(loss)
