@@ -61,6 +61,36 @@ _SLOW_NODE_PATTERNS = (
     "test_track.py::test_windowed_propagation_quality",
     "test_track_training.py::test_propagation_training_improves_iou",
     "test_track_training.py::test_shared_backbone_training_loss_drops",
+    # second pass (uncontended --durations run): >25 s compiles
+    "test_webui.py::test_analyze_video_mode",
+    "test_webui.py::test_analyze_image_mode",
+    "test_track.py::test_fused_bench_assembly_cpu",
+    "test_track.py::test_quantized_core_step_and_window",
+    "test_track_training.py::test_windowed_loss_finite_and_differentiable",
+    "test_track_training.py::test_pyramid_channels_match_backbone",
+    "test_train.py::test_one_train_step_reduces_loss_or_runs",
+    "test_train.py::test_detection_loss_finite_and_positive",
+    "test_classifiers.py::test_unet_predict_contract",
+    "test_classifiers.py::test_van_forward",
+    "test_classifiers.py::test_u2netp_param_count_and_outputs",
+    "test_longterm_memory.py::test_step_accumulates_usage_and_reads_longterm",
+)
+
+
+# Pure-logic files with no big-model compiles: `pytest -m smoke` runs these in
+# ~2 minutes wall on this 2-vCPU box (measured 2m18s, 147 tests, 2026-08-20) —
+# the tightest inner loop.  `-m "not slow"` is the mid tier (~15-25 min); the
+# unfiltered suite is the pre-round gate.
+_SMOKE_FILES = (
+    "test_analytics.py",
+    "test_geometry.py",
+    "test_signal.py",
+    "test_map_crosscheck.py",
+    "test_annotation_ui.py",
+    "test_gradio_app.py",
+    "test_utils_namespace.py",
+    "test_compat_shim.py",
+    "test_reference_scripts.py",
 )
 
 
@@ -68,3 +98,6 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if any(p in item.nodeid for p in _SLOW_NODE_PATTERNS):
             item.add_marker(pytest.mark.slow)
+        if any(f"{f}::" in item.nodeid or item.nodeid.endswith(f)
+               for f in _SMOKE_FILES):
+            item.add_marker(pytest.mark.smoke)
