@@ -49,9 +49,17 @@ def make_puncture_video(rng, n_frames=64, fps=30.0, key_frame=None, speed_mm_s=N
     """Returns (frames list of BGR uint8 (SIZE, SIZE, 3), gt dict)."""
     key_frame = key_frame if key_frame is not None else int(rng.integers(12, 28))
     speed_mm_s = speed_mm_s if speed_mm_s is not None else float(rng.uniform(1.5, 4.5))
+    # the 2 mm-drop end frame must exist inside the clip (slow insertions need
+    # enough post-key frames, plus smoothing margin) or the ground truth itself
+    # admits no speed estimate
+    key_frame = min(key_frame, n_frames - int(2.8 / speed_mm_s * fps) - 3)
+    key_frame = max(key_frame, 8)
     L0 = INIT_LEN_MM * PX_PER_MM
     cx = int(rng.integers(40, SIZE - 40))
-    wpx = int(rng.integers(5, 9))
+    # width ≥10 px: a thinner shaft leaves the stride-8 anchor grid without a
+    # center column inside the box, the task-aligned assigner finds no positive
+    # candidates, and training silently converges to "predict nothing"
+    wpx = int(rng.integers(10, 15))
     base = rng.uniform(0.25, 0.45, size=(SIZE, SIZE, 3)).astype(np.float32)
     base += rng.uniform(0, 0.08, size=(SIZE, SIZE, 3))
     skin_color = np.array([0.45, 0.5, 0.65], np.float32)  # BGR skin-ish
@@ -140,7 +148,7 @@ def train_classifier(train_videos, crop_size, epochs=3, seed=0):
     crops, labels = [], []
     for frames, gt in train_videos:
         for t, (f, b) in enumerate(zip(frames, gt["boxes"])):
-            crop, _ = crop_frame(f, b, crop_size, pad=True)
+            crop, _ = crop_frame(f, b, crop_size, need_padding=True)
             crops.append(crop[..., ::-1])  # BGR→RGB as tasks/classify does
             labels.append(int(t >= gt["key_frame"]))
     crops = np.stack(crops)
@@ -161,6 +169,8 @@ def main():
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--det_init", default=None,
+                    help="skip detector training; load variables from this msgpack")
     ap.add_argument("--save_det", default=None,
                     help="save the trained detector variables (flax msgpack) — "
                     "e.g. as a TRAINED backbone for shared-pyramid tracker "
@@ -179,7 +189,21 @@ def main():
         make_puncture_video(rng, n_frames=args.frames) for _ in range(args.eval_videos)
     ]
 
-    det = train_detector(train_videos, steps=args.det_steps, seed=args.seed)
+    if args.det_init:
+        import jax.numpy as jnp
+        from flax import serialization
+
+        from yolo_puncture_tpu.predict import YOLO
+
+        det = YOLO("yolo10n-seg", nc=1)
+        template = det.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        with open(args.det_init, "rb") as f:
+            det.variables = serialization.from_bytes(template, f.read())
+        print(f"loaded detector from {args.det_init}", flush=True)
+    else:
+        det = train_detector(train_videos, steps=args.det_steps, seed=args.seed)
     if args.save_det:
         from flax import serialization
 
@@ -263,8 +287,9 @@ def main():
                 f"| {r['video']} | {r['actual_key']} | {r['pred_key']} | "
                 f"{r['actual_speed']} | {r['pred_speed']} | {r['rel_err']} |\n"
             )
+        mean_s = f"{mean_err:.3f}" if mean_err is not None else "n/a"
         f.write(
-            f"\nMean relative speed error: **{mean_err:.3f}** over {len(errs)} "
+            f"\nMean relative speed error: **{mean_s}** over {len(errs)} "
             f"videos ({detected}/{len(rows)} produced a speed estimate).  "
             "Reference bar on real footage: 0.10 mean (info.md:84).\n\n"
             f"Held-out detector quality (compute_map, ultralytics protocol): "
