@@ -93,7 +93,7 @@ def make_puncture_video(rng, n_frames=64, fps=30.0, key_frame=None, speed_mm_s=N
     }
 
 
-def train_detector(train_videos, steps, seed=0):
+def train_detector(train_videos, steps, seed=0, model_name="yolo10n-seg"):
     from yolo_puncture_tpu import create_model
     from yolo_puncture_tpu.train.trainer import Trainer
 
@@ -125,7 +125,7 @@ def train_detector(train_videos, steps, seed=0):
             "gt_masks": masks,
         }
 
-    model = create_model("yolo10n-seg", nc=1)
+    model = create_model(model_name, nc=1)
     tr = Trainer(model, nc=1, imgsz=SIZE, lr0=0.01, total_steps=steps,
                  warmup_steps=max(steps // 20, 5), use_ema=False)
     state = tr.init_state(make_batch())
@@ -135,7 +135,7 @@ def train_detector(train_videos, steps, seed=0):
             print(f"det step {i}: loss {float(metrics['total']):.3f}", flush=True)
     from yolo_puncture_tpu.predict import YOLO
 
-    det = YOLO("yolo10n-seg", nc=1)
+    det = YOLO(model_name, nc=1)
     det.variables = {"params": state.params, "batch_stats": state.batch_stats}
     return det
 
@@ -169,6 +169,9 @@ def main():
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--det_model", default="yolo10n-seg",
+                    help="detector registry name (yolo10s-seg to produce an "
+                    "s-scale backbone for the bench's shared tracker)")
     ap.add_argument("--det_init", default=None,
                     help="skip detector training; load variables from this msgpack")
     ap.add_argument("--save_det", default=None,
@@ -195,7 +198,7 @@ def main():
 
         from yolo_puncture_tpu.predict import YOLO
 
-        det = YOLO("yolo10n-seg", nc=1)
+        det = YOLO(args.det_model, nc=1)
         template = det.model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
         )
@@ -203,7 +206,8 @@ def main():
             det.variables = serialization.from_bytes(template, f.read())
         print(f"loaded detector from {args.det_init}", flush=True)
     else:
-        det = train_detector(train_videos, steps=args.det_steps, seed=args.seed)
+        det = train_detector(train_videos, steps=args.det_steps, seed=args.seed,
+                             model_name=args.det_model)
     if args.save_det:
         from flax import serialization
 
