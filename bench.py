@@ -265,11 +265,71 @@ def _main_e2e():
     }))
 
 
+def _main_e2e_device():
+    """BENCH_MODE=e2e_device — config 5's DEVICE stage in isolation (VERDICT r2
+    item 5): the same fused VideoSpeedPipeline program (letterbox → detector →
+    best-box → mask decode → 380² crop → classifier), timed with the frame
+    batch PRE-STAGED on device and iterations chained through the conf input,
+    so neither the remote tunnel's ~8 MB/s H2D (the e2e row's bottleneck) nor
+    per-iteration fetches participate.  One host fetch forces the chain."""
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
+
+    from yolo_puncture_tpu.pipeline.runner import VideoSpeedPipeline
+    from yolo_puncture_tpu.predict.predictor import YOLO
+    from yolo_puncture_tpu.tasks.classify import ClassifierNet
+
+    det = YOLO("yolo10s-seg", nc=1, dtype=jnp.bfloat16)
+    cls_net = ClassifierNet("efficientnet_b3", dtype=jnp.bfloat16)
+    pipe = VideoSpeedPipeline(det, cls_net, device_batch=batch, imgsz=imgsz)
+    step = pipe._step_fn((720, 1280))
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(60, 120, size=(batch, 720, 1280, 3), dtype=np.uint8)
+    for i in range(batch):
+        x = 100 + (i * 3) % 900
+        base[i, 200:520, x:x + 40] = 235
+    frames = jnp.asarray(base)  # staged ONCE, outside the timed region
+
+    def one(chk):
+        # conf depends on the previous iteration's outputs → iterations chain
+        conf = jnp.float32(0.25) + 0.0 * chk
+        out = step(det.variables, cls_net.variables, frames, conf)
+        return (
+            chk
+            + out["box"].astype(jnp.float32).sum()
+            + out["conf"].astype(jnp.float32).sum()
+            + out["cls_prob"].sum()
+            + out["mask_lb"][:, ::37, ::37].astype(jnp.int32).sum()
+        )
+
+    chk = one(jnp.float32(0))
+    np.asarray(chk)  # warmup/compile, forced
+    t0 = time.perf_counter()
+    chk = jnp.float32(0)
+    for _ in range(iters):
+        chk = one(chk)
+    np.asarray(chk)
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": "config-5 device-stage frames/sec/chip "
+                  "(VideoSpeedPipeline det+cls, frames pre-staged)",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 500.0, 3),
+    }))
+
+
 def main():
     _probe_device(float(os.environ.get("BENCH_PROBE_TIMEOUT", "180")))
     _global_watchdog(float(os.environ.get("BENCH_WATCHDOG_SECS", "2700")))
-    if os.environ.get("BENCH_MODE", "stream") == "e2e":
+    mode = os.environ.get("BENCH_MODE", "stream")
+    if mode == "e2e":
         return _main_e2e()
+    if mode == "e2e_device":
+        return _main_e2e_device()
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     imgsz = int(os.environ.get("BENCH_IMGSZ", "640"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
@@ -293,20 +353,38 @@ def main():
                 from yolo_puncture_tpu.track import reference_tracker_geometry
                 from yolo_puncture_tpu.track.core import TrackerCore
 
-                shared = os.environ.get("BENCH_SHARED", "1") != "0"
+                # Defaults = the PUBLISHED quality configuration (VERDICT r2
+                # item 1): self-contained tracker encoder (the 0.82-IoU
+                # default, docs/tracker_quality.md) with per-frame-EXACT
+                # windowed propagation (BENCH_EXACT=1: sensory GRU threaded
+                # through every frame; ring readout batched per write window —
+                # numerically equal to the per-frame step() scan, see
+                # tests/test_track.py::test_exact_windowed_matches_per_frame).
+                # BENCH_SHARED=1 opts into the throughput-first shared-pyramid
+                # adapter (0.245 IoU holdout — experiment, not the headline).
+                shared = os.environ.get("BENCH_SHARED", "0") != "0"
                 int8_mem = os.environ.get("BENCH_INT8", "0") != "0"
                 # BENCH_FLASH=1: Pallas flash memory-readout trial (VERDICT r1
                 # item 3) — mutually exclusive with quantized memory
                 flash = os.environ.get("BENCH_FLASH", "0") != "0"
+                # BENCH_LT=1: long-term prototype tier engaged (the reference
+                # formula only enables it for videos ≳390 frames;
+                # yolo_with_deva.py:242-245)
+                long_term = os.environ.get("BENCH_LT", "0") != "0"
                 # reference DEVA geometry: min-side 480 at the 720p source
                 # aspect, /16-padded → (480, 864).  A 480² square would do
                 # ~2× less readout work than the reference stage.
                 core = TrackerCore(
                     image_size=reference_tracker_geometry((720, 1280)),
                     max_objects=4, mem_frames=8,
-                    mem_every=4, enable_long_term=False, dtype=jnp.bfloat16,
+                    mem_every=int(os.environ.get("BENCH_WINDOW", "4")),
+                    enable_long_term=long_term, dtype=jnp.bfloat16,
                     subpix_tail=True, pyramid_adapter=shared,
                     quantized_memory=int8_mem, flash_readout=flash,
+                    # bf16 affinity (BENCH_AFF16=0 opts out): halves the
+                    # (Q, M) softmax intermediate — the profiled bottleneck
+                    # (tools/profile_stages.py: propagate = 53% of the batch)
+                    affinity_bf16=os.environ.get("BENCH_AFF16", "1") != "0",
                 )
                 mem = core.memory._replace(active=core.memory.active.at[0].set(True))
             else:
@@ -439,8 +517,15 @@ def main():
                 keys, skips = core.net.apply(
                     trk_vars, timgs, method=PropagationNetwork.encode_key
                 )
-            mem, ids_s4 = core.propagate_frames(trk_vars, mem, keys, skips, window=4)
-            ids = jnp.repeat(jnp.repeat(ids_s4, 4, axis=1), 4, axis=2)
+            # full_res_ids: logits upsampled to 480×864 before aggregation +
+            # argmax — the serving step() output order (the s4-argmax shortcut
+            # under-segments thin objects; docs/tracker_quality.md)
+            mem, ids = core.propagate_frames(
+                trk_vars, mem, keys, skips,
+                window=int(os.environ.get("BENCH_WINDOW", "4")),
+                exact=os.environ.get("BENCH_EXACT", "1") != "0",
+                full_res_ids=True,
+            )
             boxes = det["boxes"][:, 0]
             scores = det["scores"][:, 0]
             valid = det["valid"][:, 0]
@@ -451,7 +536,7 @@ def main():
                 + scores.astype(jnp.float32).sum()
                 + valid.sum()
                 + mask[:, ::37, ::37].astype(jnp.int32).sum()
-                + ids_s4[:, ::16, ::16].astype(jnp.int32).sum()
+                + ids[:, ::64, ::64].astype(jnp.int32).sum()
             )
             return {"boxes": boxes, "scores": scores, "valid": valid,
                     "mask": mask, "ids": ids, "chk": chk}, mem

@@ -1,0 +1,41 @@
+"""E2E speed-accuracy regression gate (VERDICT r2 item 2).
+
+Runs the FULL tools/e2e_accuracy_eval.py protocol (fixed seed, 4 train / 6
+eval synthetic videos, 500 detector steps) and asserts the quality floor the
+repo's docs cite: mean relative speed error ≤ 0.25 and held-out mask mAP50
+≥ 0.9.  The protocol collapsed to 0/2 detections when its knobs were halved
+(round-2 snapshot regression) — this test pins the full-knob configuration so
+a silent protocol change can't clobber the accuracy claims again.
+
+Slow (≈25 min on 2 vCPU): full-suite tier only.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_full_protocol_meets_quality_floor(tmp_path):
+    out_md = tmp_path / "e2e_accuracy.md"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "e2e_accuracy_eval.py"),
+         "--seed", "0", "--out", str(out_md)],
+        capture_output=True, text=True, timeout=5400, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = next(
+        (ln for ln in r.stdout.splitlines() if ln.startswith("{")), None)
+    assert line, f"no JSON line in output:\n{r.stdout[-2000:]}"
+    d = json.loads(line)
+    assert d["videos_with_estimate"] >= 5, d
+    assert d["mean_rel_err"] is not None and d["mean_rel_err"] <= 0.25, d
+    assert d["mask_map50"] >= 0.9, d
+    assert out_md.exists()

@@ -587,3 +587,103 @@ def test_quantized_memory_rejects_long_term():
     with pytest.raises(ValueError):
         TrackerCore(image_size=(64, 96), max_objects=2, mem_frames=4,
                     enable_long_term=True, quantized_memory=True)
+
+
+@pytest.mark.parametrize("long_term", [False, True])
+def test_exact_windowed_matches_per_frame(long_term):
+    """propagate_frames(exact=True) reproduces the per-frame serving scan
+    numerically: the ring readout batched over a write window is exact (the
+    ring only changes at window-end writes), and the sensory GRU threads
+    through every frame exactly as step() does.  Compares per-frame stride-4
+    output probs AND the full memory trajectory over two windows.
+
+    Write-cadence alignment: incorporate writes frame 0 and leaves
+    frame_idx=1; per-frame step() then writes at frame_idx % mem_every == 0,
+    i.e. at frames W, 2W, … — exactly the window ends of windows
+    [1..W], [W+1..2W] when window == mem_every."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_puncture_tpu.track.network import PropagationNetwork, soft_aggregate
+
+    W = 4
+    core = TrackerCore(
+        image_size=(64, 96), max_objects=4, mem_frames=4, mem_every=W,
+        enable_long_term=long_term, num_prototypes=16,
+        max_long_term_elements=64, dtype=jnp.float32,
+    )
+    variables = core.variables
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(
+        rng.uniform(0, 1, size=(2 * W + 1, 64, 96, 3)).astype(np.float32)
+    )
+    mask0 = jnp.asarray(_disk_mask()[None].repeat(4, 0) * 0)
+    mask0 = mask0.at[0].set(jnp.asarray(_disk_mask()))
+    valid = jnp.asarray([True, False, False, False])
+    _, mem0, _ = core._jit_incorporate(variables, core.memory, images[0], mask0, valid)
+    assert int(mem0.frame_idx) == 1
+
+    # ---- path A: per-frame serving semantics (step_from_feats with s4 decode)
+    def per_frame_ref(memory, image):
+        key, skips0 = core._encode1_impl(variables, image)
+        readout, memory = core._read(key, memory)
+        logits_s4, hidden_feat, logits_s16 = core.net.apply(
+            variables, readout, skips0, memory.sensory,
+            method=PropagationNetwork.decode, full_res=False,
+        )
+        sensory = core.net.apply(
+            variables, memory.sensory, hidden_feat,
+            method=PropagationNetwork.update_sensory,
+        )
+        memory = memory._replace(sensory=sensory)
+        act = memory.active.astype(logits_s4.dtype)
+        prob_s4 = soft_aggregate(logits_s4, act)
+        prob_s16 = soft_aggregate(logits_s16, act)
+        do_write = (memory.frame_idx % core.mem_every == 0) & jnp.any(memory.active)
+        if core.enable_long_term:
+            from yolo_puncture_tpu.track.memory import consolidate
+
+            occupied = memory.valid[memory.write_pos]
+            memory = consolidate(memory, core.num_prototypes, do_write & occupied)
+        memory = core._write(
+            variables, memory, key, skips0["f16"], prob_s16[1:], do_write
+        )
+        memory = memory._replace(frame_idx=memory.frame_idx + 1)
+        return prob_s4, memory
+
+    memA = mem0
+    probsA = []
+    for t in range(1, 2 * W + 1):
+        p, memA = jax.jit(per_frame_ref)(memA, images[t])
+        probsA.append(np.asarray(p))
+
+    # ---- path B: exact windowed batch path
+    keys, skips = core.net.apply(
+        variables, images[1:], method=PropagationNetwork.encode_key
+    )
+    memB = mem0
+    probsB = []
+    for k in range(2):
+        sl = slice(k * W, (k + 1) * W)
+        pw, memB = jax.jit(core.propagate_window, static_argnames=("exact",))(
+            variables, memB,
+            keys[sl], {n: v[sl] for n, v in skips.items()}, exact=True,
+        )
+        probsB.extend(np.asarray(pw))
+
+    for t in range(2 * W):
+        np.testing.assert_allclose(probsB[t], probsA[t], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(memB.sensory), np.asarray(memA.sensory),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(memB.keys), np.asarray(memA.keys),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(memB.values), np.asarray(memA.values),
+                               atol=2e-5)
+    assert int(memB.write_pos) == int(memA.write_pos)
+    assert int(memB.frame_idx) == int(memA.frame_idx)
+    np.testing.assert_array_equal(np.asarray(memB.valid), np.asarray(memA.valid))
+    if long_term:
+        np.testing.assert_allclose(np.asarray(memB.lt_keys),
+                                   np.asarray(memA.lt_keys), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(memB.lt_valid),
+                                      np.asarray(memA.lt_valid))

@@ -442,6 +442,15 @@ class Sam(nn.Module):
         """image (B, 3, S, S) already normalized; points_01 (B, P, 2) in [0,1];
         labels (B, P).  Returns (masks (B, 4, S/4, S/4), iou (B, 4))."""
         emb = self.image_encoder(image)
+        # segment_anything pads point-only prompts with one (0,0) label=-1
+        # token (_embed_points pad=True when boxes is None)
+        B = points_01.shape[0]
+        points_01 = torch.cat(
+            [points_01, torch.zeros(B, 1, 2, dtype=points_01.dtype)], dim=1
+        )
+        labels = torch.cat(
+            [labels, torch.full((B, 1), -1, dtype=labels.dtype)], dim=1
+        )
         sparse = self.prompt_encoder.embed_points_01(points_01, labels)
         g = emb.shape[-1]
         image_pe = self.prompt_encoder.pe_layer((g, g)).unsqueeze(0)

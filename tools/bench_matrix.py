@@ -19,20 +19,32 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 MATRIX = [
-    ("fused+shared b128 (headline)", {}),
-    ("fused+shared b128 int8-det", {"BENCH_INT8_DET": "1"}),
-    ("fused+shared b128 int8-mem", {"BENCH_INT8": "1"}),
-    ("fused+shared b128 int8-both", {"BENCH_INT8_DET": "1", "BENCH_INT8": "1"}),
-    ("fused+shared b128 int8-det-static", {"BENCH_INT8_DET": "1", "BENCH_INT8_STATIC": "1"}),
-    ("fused+shared b256", {"BENCH_BATCH": "256"}),
+    # the PUBLISHED configuration: self-contained tracker encoder, exact
+    # window4 (per-frame-equivalent semantics), full-res ids — one (fps, IoU)
+    # headline pair with docs/tracker_quality.md (VERDICT r2 item 1)
+    ("quality-default b128 (headline)", {}),
+    ("quality-default, exact window8", {"BENCH_WINDOW": "8"}),
+    ("legacy window approx (r2 semantics)", {"BENCH_EXACT": "0"}),
+    ("long-term tier on", {"BENCH_LT": "1"}),
+    ("shared-pyramid (throughput experiment)", {"BENCH_SHARED": "1"}),
+    ("int8 detector (dynamic scales)", {"BENCH_INT8_DET": "1"}),
+    ("int8 detector (static scales)", {"BENCH_INT8_DET": "1", "BENCH_INT8_STATIC": "1"}),
+    ("int8 memory ring", {"BENCH_INT8": "1"}),
+    ("quality-default b256", {"BENCH_BATCH": "256"}),
     ("detector-only b128", {"BENCH_TRACK": "0"}),
-    # Pallas-kernel trials (VERDICT r1 item 3): flash memory readout, and the
-    # proto-resolution mask decode — pallas kernel vs matched-work XLA control
+    # BASELINE config 5: fused VideoSpeedPipeline — end-to-end (tunnel H2D
+    # participates) and device-stage isolated (frames pre-staged; VERDICT r2
+    # item 5)
+    ("e2e-config5 pipeline b32", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32"}),
+    ("e2e-config5 device-stage b32", {"BENCH_MODE": "e2e_device", "BENCH_BATCH": "32"}),
+    # Pallas-kernel trials (retired after the r2 on-chip verdict — XLA wins at
+    # these shapes; rerun with --pallas to revalidate)
+]
+
+PALLAS_ROWS = [
     ("fused+flash-readout b128", {"BENCH_FLASH": "1"}),
     ("proto-res decode XLA b128", {"BENCH_PROTO_RES": "1"}),
     ("proto-res decode Pallas b128", {"BENCH_PALLAS_PROTO": "1"}),
-    # BASELINE config 5: fused VideoSpeedPipeline E2E (det+cls+analytics)
-    ("e2e-config5 pipeline b32", {"BENCH_MODE": "e2e", "BENCH_BATCH": "32"}),
 ]
 
 QUICK = MATRIX[:2]
@@ -62,10 +74,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="also rerun the retired Pallas-kernel trial rows")
     args = ap.parse_args()
 
+    matrix = QUICK if args.quick else MATRIX + (PALLAS_ROWS if args.pallas else [])
     rows = []
-    for label, env_over in (QUICK if args.quick else MATRIX):
+    for label, env_over in matrix:
         r = run_one(label, env_over, args.iters)
         rows.append(r)
         fps = r.get("value")

@@ -178,11 +178,20 @@ def main():
                     help="save the trained detector variables (flax msgpack) — "
                     "e.g. as a TRAINED backbone for shared-pyramid tracker "
                     "training (apps/train_tracker.py --shared --backbone_init)")
-    ap.add_argument("--out", default=os.path.join(REPO, "docs", "e2e_accuracy.md"))
+    ap.add_argument("--out", default=None,
+                    help="output doc; defaults to docs/e2e_accuracy.md for the "
+                    "full protocol and docs/e2e_accuracy_quick.md for --quick "
+                    "(a smoke run must never clobber the official record — "
+                    "VERDICT r2 item 2)")
     args = ap.parse_args()
     if args.quick:
         args.train_videos, args.eval_videos = 2, 2
         args.det_steps, args.cls_epochs, args.frames = 150, 1, 48
+    if args.out is None:
+        args.out = os.path.join(
+            REPO, "docs",
+            "e2e_accuracy_quick.md" if args.quick else "e2e_accuracy.md",
+        )
 
     rng = np.random.default_rng(args.seed)
     train_videos = [
@@ -279,7 +288,7 @@ def main():
             "Same protocol as the reference's per-video table "
             "(/root/reference/info.md:23-43), run on synthetic puncture videos "
             "with known key frames and speeds — no patient videos exist in this "
-            f"environment.  Detector: yolo10n-seg trained {args.det_steps} steps "
+            f"environment.  Detector: {args.det_model} trained {args.det_steps} steps "
             f"on {args.train_videos} videos; classifier: efficientnet_b0 "
             f"{args.cls_epochs} epochs; pipeline: fused VideoSpeedPipeline "
             f"(imgsz {SIZE}).  Generated by tools/e2e_accuracy_eval.py.\n\n"

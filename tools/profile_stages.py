@@ -45,10 +45,11 @@ def main():
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
     )
+    shared = os.environ.get("BENCH_SHARED", "0") != "0"
     core = TrackerCore(
         image_size=reference_tracker_geometry((720, 1280)), max_objects=4,
         mem_frames=8, mem_every=4, enable_long_term=False, dtype=jnp.bfloat16,
-        subpix_tail=True, pyramid_adapter=True,
+        subpix_tail=True, pyramid_adapter=shared,
     )
     mem0 = core.memory._replace(active=core.memory.active.at[0].set(True))
     trk_vars = core.variables
@@ -78,21 +79,51 @@ def main():
         )
         if upto == 2:
             return chk, mem
-        pyr = out["pyramid"]
-        keys, skips = core.encode_pyramid(
-            trk_vars, pyr["P3"], pyr["P4"], pyr["P5"], content_box=content_box
-        )
+        if shared:
+            pyr = out["pyramid"]
+            keys, skips = core.encode_pyramid(
+                trk_vars, pyr["P3"], pyr["P4"], pyr["P5"], content_box=content_box
+            )
+        else:
+            from yolo_puncture_tpu.track.network import PropagationNetwork
+
+            th, tw = core.image_size
+            B = frames_u8.shape[0]
+            timgs = (
+                jax.image.resize(
+                    frames_u8.astype(jnp.bfloat16), (B, th, tw, 3), "bilinear"
+                )
+                / 255.0
+            )
+            if upto == 25:  # resize-only stage
+                return chk + timgs.astype(jnp.float32)[:, ::97, ::97].sum(), mem
+            keys, skips = core.net.apply(
+                trk_vars, timgs, method=PropagationNetwork.encode_key
+            )
         if upto == 3:
             return chk + keys.astype(jnp.float32)[:, ::13, ::13].sum(), mem
-        mem, ids_s4 = core.propagate_frames(trk_vars, mem, keys, skips, window=4)
-        chk = chk + ids_s4[:, ::16, ::16].astype(jnp.int32).sum()
+        if upto == 4:
+            mem, ids_s4 = core.propagate_frames(
+                trk_vars, mem, keys, skips, window=4, exact=True
+            )
+            chk = chk + ids_s4[:, ::16, ::16].astype(jnp.int32).sum()
+            return chk, mem
+        mem, ids = core.propagate_frames(
+            trk_vars, mem, keys, skips, window=4, exact=True, full_res_ids=True
+        )
+        chk = chk + ids[:, ::64, ::64].astype(jnp.int32).sum()
         return chk, mem
 
-    names = ["letterbox", "+detector fwd", "+select/decode", "+pyr encode",
-             "+propagate"]
+    names = ["letterbox", "+detector fwd", "+select/decode"]
+    uptos = [0, 1, 2]
+    if not shared:
+        names.append("+tracker resize")
+        uptos.append(25)
+    names += ["+trk encode", "+propagate (s4 ids)", "+full-res ids"]
+    uptos += [3, 4, 5]
     steps = [
         jax.jit(lambda v, m, f, c, k, u=u: pipeline(v, m, f, c, k, u))
-        for u in range(5)
+        for u in uptos
     ]
 
     rng = np.random.default_rng(0)

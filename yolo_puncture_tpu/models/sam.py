@@ -92,8 +92,7 @@ class _Attention(nn.Module):
 class _Block(nn.Module):
     dim: int
     num_heads: int
-    window: int  # 0 = global
-    grid: Tuple[int, int] = (64, 64)  # full token grid (global blocks)
+    window: int  # 0 = global (token grid derived from the input tensor)
     use_rel_pos: bool = True
     dtype: Dtype = jnp.float32
 
@@ -154,7 +153,7 @@ class ImageEncoderViT(nn.Module):
         for i in range(depth):
             x = _Block(
                 dim, heads, window=0 if i in global_idx else self.window,
-                grid=(grid, grid), use_rel_pos=self.use_rel_pos,
+                use_rel_pos=self.use_rel_pos,
                 dtype=self.dtype, name=f"block_{i}",
             )(x)
         # neck: 1x1 → 3x3 with channel LayerNorm (LayerNorm2d, eps 1e-6)
@@ -435,7 +434,19 @@ class SAM(nn.Module):
 
     def decode_points(self, image_emb, points_01, labels):
         """points_01 (B, P, 2) in [0,1] (pixel-center convention); labels (B, P)
-        1=fg, 0=bg, -1=pad.  Dense prompt = no_mask_embed (point-only path)."""
+        1=fg, 0=bg, -1=pad.  Dense prompt = no_mask_embed (point-only path).
+
+        Matches segment_anything's ``_embed_points(pad=True)``: with no box
+        prompt the reference appends one (0,0) label=-1 padding token, and the
+        released checkpoints were trained with that token present — so it is
+        appended here unconditionally (this class has no box path)."""
+        B = points_01.shape[0]
+        points_01 = jnp.concatenate(
+            [points_01, jnp.zeros((B, 1, 2), points_01.dtype)], axis=1
+        )
+        labels = jnp.concatenate(
+            [labels, jnp.full((B, 1), -1, labels.dtype)], axis=1
+        )
         pe = self.prompt_encoder.embed_points(points_01, labels)
         H, W = image_emb.shape[1:3]
         ipe = jnp.broadcast_to(
@@ -460,13 +471,22 @@ def build_sam(
     model_type: str = "vit_b",
     checkpoint: Optional[str] = None,
     dtype=jnp.float32,
-    img_size: int = 256,
+    img_size: int = 1024,
 ):
     """sam_model_registry equivalent: returns {model, variables, type, img_size}.
 
-    ``img_size=1024`` is the released-checkpoint geometry; smaller sizes
-    interpolate pos_embed (and rel-pos tables) at conversion, trading fidelity
-    for speed — fine for the offline annotation flows this serves."""
+    ``img_size=1024`` (the default) is the released-checkpoint geometry —
+    weights load losslessly.  Smaller sizes interpolate pos_embed (and rel-pos
+    tables) at conversion and aspect-squash inputs, trading fidelity for
+    speed — fine for the offline annotation flows this serves, and a warning
+    is emitted when a checkpoint is interpolated."""
+    if img_size != 1024 and checkpoint:
+        import warnings
+
+        warnings.warn(
+            f"SAM img_size={img_size} != released 1024: pos_embed/rel-pos "
+            "tables will be interpolated (non-reference geometry)"
+        )
     model = SAM(variant=model_type, img_size=img_size, dtype=dtype)
     variables = model.init(
         jax.random.PRNGKey(0),

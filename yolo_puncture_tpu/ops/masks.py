@@ -120,21 +120,30 @@ def decode_masks(
 def paste_masks_to_original(
     masks: jax.Array,
     r: float,
-    pad: Tuple[int, int],
+    pad: Tuple[float, float],
     orig_hw: Tuple[int, int],
 ) -> jax.Array:
     """Undo the letterbox on decoded masks: crop padding, resize to original frame.
 
-    masks: (B, N, H, W) at letterboxed resolution; returns (B, N, h0, w0).
-    """
+    masks: (B, N, H, W) at letterboxed (or proto) resolution; returns
+    (B, N, h0, w0).  ``r`` is the mask-res/original-res scale and ``pad``
+    (left, top) the padding offsets AT MASK RESOLUTION — both may be
+    FRACTIONAL (the stride-4 proto path passes r/4 and pad/4; quantizing the
+    pad to integer proto pixels shifted all retina masks by up to 2 original
+    pixels when pad % 4 != 0).  One fused sample: output center (i+0.5) reads
+    mask coordinate (i+0.5)·r + pad — bilinear, single resample
+    (ultralytics scale_masks semantics without the int crop)."""
     B, N, H, W = masks.shape
     left, top = pad
     h0, w0 = orig_hw
-    content_h = H - 2 * top if 2 * top < H else H
-    content_w = W - 2 * left if 2 * left < W else W
-    content_h = round(min(content_h, h0 * r)) or H
-    content_w = round(min(content_w, w0 * r)) or W
-    cropped = jax.lax.dynamic_slice(
-        masks, (0, 0, top, left), (B, N, content_h, content_w)
+    # output center o+0.5 samples input index p with (p+0.5)·scale+trans = o+0.5
+    # ⇒ p+0.5 = ((o+0.5) - trans)/scale; want p+0.5 = (o+0.5)·r + pad
+    # ⇒ scale = 1/r, trans = -pad/r
+    return jax.image.scale_and_translate(
+        masks,
+        (B, N, h0, w0),
+        (2, 3),
+        jnp.asarray([1.0 / r, 1.0 / r], jnp.float32),
+        jnp.asarray([-top / r, -left / r], jnp.float32),
+        method="linear",
     )
-    return jax.image.resize(cropped, (B, N, h0, w0), method="bilinear")

@@ -188,7 +188,9 @@ class YOLO:
             (N, imgsz, imgsz) intermediate and drifted mask boundaries ~10%
             IoU on thin instances vs the reference pipeline.
             Non-retina: masks arrive box-cropped at proto res already."""
-            pad4 = (round(pad[0] / 4), round(pad[1] / 4))
+            # fractional pad carried exactly: pad/4 need not be integral, and
+            # paste_masks_to_original samples at float offsets (ADVICE r2)
+            pad4 = (pad[0] / 4.0, pad[1] / 4.0)
             full = paste_masks_to_original(masks_p, r / 4, pad4, (h0, w0))
             if retina:
                 from yolo_puncture_tpu.ops.masks import crop_masks

@@ -142,6 +142,8 @@ class TrackerCore:
         pyramid_adapter: bool = False,
         pyramid_channels=(128, 256, 512),
         quantized_memory: bool = False,
+        exact_windows: bool = True,
+        affinity_bf16: bool = False,
     ):
         self.subpix_tail = bool(subpix_tail)
         # int8 working ring: keys/values stored s8 with per-slot scales; both
@@ -157,6 +159,16 @@ class TrackerCore:
         # long-term consolidation path (which consumes usage) to be off.
         self.flash_readout = bool(flash_readout)
         self.config = config or {}
+        # exact_windows: windowed batch paths (step_batch, propagate_frames)
+        # thread the sensory GRU per frame — numerically the per-frame step()
+        # scan at windowed throughput (test_exact_windowed_matches_per_frame).
+        # False restores the legacy window approximation (deep-update once per
+        # window).
+        self.exact_windows = bool(self.config.get("exact_windows", exact_windows))
+        # bf16 (Q, M) affinity: halves the readout's largest intermediate;
+        # softmax statistics stay fp32 (precision headroom proven by the s8
+        # path — see memory_readout_dense)
+        self.affinity_bf16 = bool(self.config.get("affinity_bf16", affinity_bf16))
         self.mem_every = int(self.config.get("mem_every", mem_every))
         self.top_k = int(self.config.get("top_k", top_k))
         self.num_prototypes = int(self.config.get("num_prototypes", num_prototypes))
@@ -282,12 +294,20 @@ class TrackerCore:
             axis=1,
         )
         mem_valid = jnp.concatenate([jnp.repeat(memory.valid, HW), memory.lt_valid])
-        readout, usage = memory_readout_dense(
-            q, mem_keys, mem_vals, mem_valid, return_usage=True
-        )
-        memory = memory._replace(
-            usage=memory.usage + usage[: T * HW].reshape(T, HW)
-        )
+        if self.enable_long_term:
+            readout, usage = memory_readout_dense(
+                q, mem_keys, mem_vals, mem_valid, return_usage=True,
+                affinity_bf16=self.affinity_bf16,
+            )
+            memory = memory._replace(
+                usage=memory.usage + usage[: T * HW].reshape(T, HW)
+            )
+        else:
+            # usage feeds only long-term consolidation; skipping it saves one
+            # full pass over the (Q, M) weights per readout
+            readout = memory_readout_dense(
+                q, mem_keys, mem_vals, mem_valid, affinity_bf16=self.affinity_bf16
+            )
         readout = readout.reshape(self.max_objects, self.h16, self.w16, -1)
         return readout, memory
 
@@ -327,19 +347,27 @@ class TrackerCore:
             readout = memory_readout_pallas(q, mem_keys, mem_vals, mem_valid).astype(
                 mem_vals.dtype
             )
-        else:
+        elif self.enable_long_term:
             readout, usage = memory_readout_dense(
-                q, mem_keys, mem_vals, mem_valid, return_usage=True
+                q, mem_keys, mem_vals, mem_valid, return_usage=True,
+                affinity_bf16=self.affinity_bf16,
             )
             memory = memory._replace(
                 usage=memory.usage + usage[: T * HW].reshape(T, HW)
+            )
+        else:
+            # no long-term tier → usage is dead state; skip its (Q, M) pass
+            readout = memory_readout_dense(
+                q, mem_keys, mem_vals, mem_valid, affinity_bf16=self.affinity_bf16
             )
         readout = readout.reshape(
             self.max_objects, w, self.h16, self.w16, -1
         ).transpose(1, 0, 2, 3, 4)
         return readout, memory
 
-    def _propagate_scan_core(self, variables, memory: MemoryState, keys_w, f16_w):
+    def _propagate_scan_core(
+        self, variables, memory: MemoryState, keys_w, f16_w, exact: bool = False
+    ):
         """Memory-coupled part of one window: readout → decoder HEAD (stride-16
         hidden + write-mask logits) → sensory deep-update → ring write.
 
@@ -350,23 +378,49 @@ class TrackerCore:
         encoder anyway, so the information content of the write is unchanged
         (XMem-style deep update at write frames).
 
+        ``exact=False`` (legacy windowed approximation): all w heads read the
+        window-start sensory and the GRU deep-updates ONCE from the last
+        frame's hidden — the −0.22 IoU knob of docs/tracker_quality.md.
+
+        ``exact=True`` (per-frame-equivalent): the ring readout stays batched
+        over the window — bit-exact vs per-frame ``step()`` because the ring
+        only changes at window-end writes — while the cheap stride-16 head +
+        sensory GRU thread sequentially through the w frames exactly as the
+        per-frame serving loop does.  With write cadence == window and the
+        window boundary placed right after a write frame this reproduces the
+        per-frame scan's semantics at windowed throughput (the readout matmuls
+        and the decode tail, where the FLOPs are, stay batched).
+
         keys_w (w, H16, W16, Ck); f16_w (w, H16, W16, C).
         Returns (memory, hidden (w, No, H16, W16, C), logits16 (w, No, H16, W16)).
         """
         readout, memory = self._read_window(keys_w, memory)
 
-        def headf(ro):
+        def headf(ro, sensory):
             return self.net.apply(
-                variables, ro, memory.sensory, method=PropagationNetwork.decode_head
+                variables, ro, sensory, method=PropagationNetwork.decode_head
             )
 
-        hidden, logits16 = jax.vmap(headf)(readout)
+        if exact:
+            def body(sensory, ro):
+                hidden_i, logits16_i = headf(ro, sensory)
+                sensory2 = self.net.apply(
+                    variables, sensory, hidden_i,
+                    method=PropagationNetwork.update_sensory,
+                )
+                return sensory2, (hidden_i, logits16_i)
+
+            sensory, (hidden, logits16) = jax.lax.scan(
+                body, memory.sensory, readout
+            )
+        else:
+            hidden, logits16 = jax.vmap(lambda ro: headf(ro, memory.sensory))(readout)
+            sensory = self.net.apply(
+                variables, memory.sensory, hidden[-1],
+                method=PropagationNetwork.update_sensory,
+            )
         act = memory.active.astype(logits16.dtype)
         prob16_last = soft_aggregate(logits16[-1], act)
-        sensory = self.net.apply(
-            variables, memory.sensory, hidden[-1],
-            method=PropagationNetwork.update_sensory,
-        )
         memory = memory._replace(sensory=sensory)
         do_write = jnp.any(memory.active)
         if self.enable_long_term:
@@ -397,7 +451,10 @@ class TrackerCore:
 
         return jax.vmap(tail)(hidden, f8p, f4p)  # (N, No, H4, W4)
 
-    def propagate_window(self, variables, memory: MemoryState, keys_w, skips_w):
+    def propagate_window(
+        self, variables, memory: MemoryState, keys_w, skips_w, exact=None,
+        return_logits: bool = False,
+    ):
         """Propagate a window of w frames as one fixed-shape program.
 
         Windowed semantics (deliberate deviation, validated by
@@ -407,6 +464,9 @@ class TrackerCore:
         last frame's decoder features, and the ring write happens ONCE from the
         last frame's stride-16 head mask (XMem-style deep-update-at-write-frame,
         cadence = w ≡ mem_every).  Sequential length per video drops w×.
+
+        ``exact=True`` threads the sensory GRU per frame inside the window
+        (per-frame-equivalent semantics — see _propagate_scan_core).
 
         keys_w (w, H16, W16, Ck); skips_w dict of (w, ...) arrays (raw f4/f8
         or preprojected f4p/f8p; f16 always).
@@ -422,9 +482,18 @@ class TrackerCore:
             f4p, f8p = proj["f4p"], proj["f8p"]
         act = memory.active
         memory, hidden, _ = self._propagate_scan_core(
-            variables, memory, keys_w, skips_w["f16"]
+            variables, memory, keys_w, skips_w["f16"],
+            exact=self.exact_windows if exact is None else exact,
         )
         logits_s4 = self._decode_tail_batch(variables, hidden, f8p, f4p)
+        if return_logits:
+            # callers upsample LOGITS to full res before soft-aggregating —
+            # the per-frame step() output order (decode full_res=True).
+            # Aggregating at s4 and upsampling probs instead costs real
+            # boundary IoU on thin objects (interpolated probabilities place
+            # the decision boundary at 50% between cells; interpolated logits
+            # extend high-confidence peaks as the trained decoder expects).
+            return logits_s4, memory
         actf = act.astype(logits_s4.dtype)
         probs = jax.vmap(lambda lg: soft_aggregate(lg, actf))(logits_s4)
         return probs, memory
@@ -533,12 +602,24 @@ class TrackerCore:
             content_box=content_box,
         )
 
-    def propagate_frames(self, variables, memory: MemoryState, keys, skips, window: int):
+    def propagate_frames(
+        self, variables, memory: MemoryState, keys, skips, window: int,
+        exact=None, return_logits: bool = False, full_res_ids: bool = False,
+    ):
         """Scan ``propagate_window`` over B = nw·window encoded frames.
 
+        ``exact=True``: per-frame-equivalent semantics (sensory GRU threaded
+        through every frame, ring readout still batched per window — see
+        _propagate_scan_core).  Write cadence stays ``window`` either way.
+
         keys (B, H16, W16, Ck); skips dict of (B, ...) arrays.  Returns
-        (memory, ids_s4 (B, H4, W4) uint8) — argmax id maps at stride 4
-        (callers batch any full-res upsample outside the scan).
+        (memory, ids_s4 (B, H4, W4) uint8) — argmax id maps at stride 4 — or:
+          * ``return_logits=True`` → (memory, logits_s4 (B, No, H4, W4)):
+            callers upsample LOGITS to full res and soft-aggregate (the
+            per-frame step() output order);
+          * ``full_res_ids=True`` → (memory, ids (B, H, W) uint8): the
+            logits-upsample → aggregate → argmax chain done here, batched
+            (serving-faithful ids; XLA fuses the upsample into the argmax).
         """
         B = keys.shape[0]
         assert B % window == 0, f"batch {B} must be a multiple of window {window}"
@@ -555,10 +636,12 @@ class TrackerCore:
         def wshape(a):
             return a.reshape(nw, window, *a.shape[1:])
 
+        exact = self.exact_windows if exact is None else exact
+
         def body(memory, inp):
             keys_w, f16_w = inp
             memory, hidden, _ = self._propagate_scan_core(
-                variables, memory, keys_w, f16_w
+                variables, memory, keys_w, f16_w, exact=exact
             )
             return memory, hidden
 
@@ -567,21 +650,43 @@ class TrackerCore:
         )
         hidden = hidden.reshape(B, *hidden.shape[2:])  # (B, No, H16, W16, C)
         logits_s4 = self._decode_tail_batch(variables, hidden, proj["f8p"], proj["f4p"])
+        if return_logits:
+            return memory, logits_s4
         actf = act.astype(logits_s4.dtype)
+        if full_res_ids:
+            from yolo_puncture_tpu.ops.masks import upsample_bilinear_matmul
+
+            h, w = self.image_size
+            logits = upsample_bilinear_matmul(
+                logits_s4.reshape(-1, *logits_s4.shape[2:]), h, w
+            ).reshape(*logits_s4.shape[:2], h, w)
+            probs = jax.vmap(lambda lg: soft_aggregate(lg, actf))(logits)
+            return memory, jnp.argmax(probs, axis=1).astype(jnp.uint8)
         probs = jax.vmap(lambda lg: soft_aggregate(lg, actf))(logits_s4)
         ids_s4 = jnp.argmax(probs, axis=1).astype(jnp.uint8)
         return memory, ids_s4
 
     def _window_impl(self, variables, memory: MemoryState, images_w):
-        """Encode + propagate a window of frames; returns full-res probs."""
+        """Encode + propagate a window of frames; returns full-res probs.
+
+        Upsamples LOGITS to full res, then soft-aggregates — the same output
+        order as the per-frame step() (decode full_res=True), so step_batch
+        is output-identical to a step() loop, not just trajectory-identical."""
         keys, skips = self.net.apply(
             variables, images_w, method=PropagationNetwork.encode_key
         )
-        probs_s4, memory = self.propagate_window(variables, memory, keys, skips)
+        act = memory.active
+        logits_s4, memory = self.propagate_window(
+            variables, memory, keys, skips, return_logits=True
+        )
         h, w = self.image_size
         from yolo_puncture_tpu.ops.masks import upsample_bilinear_matmul
 
-        probs = upsample_bilinear_matmul(probs_s4, h, w)
+        logits = upsample_bilinear_matmul(
+            logits_s4.reshape(-1, *logits_s4.shape[2:]), h, w
+        ).reshape(*logits_s4.shape[:2], h, w)
+        actf = act.astype(logits.dtype)
+        probs = jax.vmap(lambda lg: soft_aggregate(lg, actf))(logits)
         return probs, memory
 
     def _align_impl(self, variables, img_dst, img_src, onehot_src):

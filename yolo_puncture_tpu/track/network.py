@@ -369,27 +369,39 @@ def memory_readout(
     return jnp.einsum("qk,nqkc->nqc", w, gathered)                # (No, Q, Cv)
 
 
-def memory_readout_dense(query_key, mem_keys, mem_values, mem_valid, return_usage=False):
+def memory_readout_dense(query_key, mem_keys, mem_values, mem_valid, return_usage=False,
+                         affinity_bf16: bool = False):
     """Dense full-softmax readout: two MXU matmuls, no sort/gather.
 
     TPU-native replacement for the top-k path: affinity (Q, M) → masked softmax →
     (Q, M) @ (No, M, Cv).  XLA fuses mask+softmax into the matmul epilogue; HBM
     traffic is the (Q, M) weight matrix twice — bandwidth-bound but ~100× faster
     than sort+gather at memory sizes used here.  The Pallas flash variant
-    (ops/pallas/mem_attention.py) streams it without materializing (Q, M)."""
+    (ops/pallas/mem_attention.py) streams it without materializing (Q, M).
+
+    ``return_usage=False`` skips the per-element attention-mass einsum (one
+    full pass over the (Q, M) weights) — callers without the long-term
+    consolidation tier should pass False.
+
+    ``affinity_bf16=True`` materializes the (Q, M) affinity in bf16 instead
+    of fp32 — half the HBM traffic of the readout's largest intermediate.
+    Softmax max/sum statistics stay fp32.  Precision headroom is proven by
+    the int8 path (s8 affinity, ≤1e-4 propagation IoU delta)."""
     Ck = query_key.shape[-1]
     scale = Ck ** -0.5
+    aff_dtype = jnp.bfloat16 if affinity_bf16 else jnp.float32
     aff = jnp.einsum(
-        "qc,mc->qm", query_key, mem_keys, preferred_element_type=jnp.float32
-    ) * scale
+        "qc,mc->qm", query_key, mem_keys, preferred_element_type=aff_dtype
+    ) * jnp.asarray(scale, aff_dtype)
     valid = mem_valid[None, :]
-    aff = jnp.where(valid, aff, -jnp.inf)
-    m = jnp.max(jnp.where(valid, aff, -jnp.inf), axis=-1, keepdims=True)
+    neg = jnp.asarray(-jnp.inf, aff_dtype)
+    aff = jnp.where(valid, aff, neg)
+    m = jnp.max(aff, axis=-1, keepdims=True).astype(jnp.float32)
     m = jnp.where(jnp.isfinite(m), m, 0.0)  # all-invalid rows → zero readout
     # unnormalized weights in the value dtype; the softmax denominator divides
     # the (No, Q, Cv) readout AFTER the matmul — one fewer pass over the (Q, M)
     # tensor, which is the largest intermediate of the whole tracker step
-    p = (jnp.exp(aff - m) * valid).astype(mem_values.dtype)
+    p = (jnp.exp(aff.astype(jnp.float32) - m) * valid).astype(mem_values.dtype)
     l = jnp.maximum(jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True), 1e-9)
     out = jnp.einsum(
         "qm,nmc->nqc", p, mem_values, preferred_element_type=jnp.float32
