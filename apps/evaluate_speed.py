@@ -30,13 +30,65 @@ def main(argv=None):
     parser.add_argument("-jw", "--judge_wnd", type=int, default=20)
     parser.add_argument("--imgsz", type=int, default=640)
     parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--key_frames", default=None,
+                        help="JSON file {video_no: [start, end]} overriding the "
+                        "built-in KEY_FRAME ground truth (drive the reference "
+                        "harness on synthetic-protocol videos)")
+    parser.add_argument("--det_init", default=None,
+                        help="flax msgpack detector variables (e.g. from "
+                        "tools/e2e_accuracy_eval.py --save_det) loaded over "
+                        "the built model")
+    parser.add_argument("--cls_init", default=None,
+                        help="flax msgpack classifier variables")
+    parser.add_argument("--cls_model", default=None,
+                        help="classifier registry name override (e.g. "
+                        "efficientnet_b0 to match a --cls_init checkpoint)")
+    parser.add_argument("--crop_size", type=int, default=None,
+                        help="classifier crop size override (e2e protocol: 96)")
     args = parser.parse_args(argv)
 
     from apps.auto_speed_calc import build_pipeline
     from yolo_puncture_tpu.analytics.stats import compute_metrics
     from yolo_puncture_tpu.pipeline.video import iter_video_frames
 
-    pipe = build_pipeline(args.yolo_model, args.classify_model, args.batch, args.imgsz)
+    key_frame = KEY_FRAME
+    if args.key_frames:
+        import json
+
+        with open(args.key_frames) as f:
+            key_frame = {int(k): tuple(v) for k, v in json.load(f).items()}
+
+    if args.cls_model or args.crop_size:
+        # custom classifier/crop geometry (synthetic-protocol drive): fp32 so
+        # the harness also runs on the CPU backend (no bf16 dot support there)
+        from yolo_puncture_tpu.pipeline import VideoSpeedPipeline
+        from yolo_puncture_tpu.predict import YOLO
+        from yolo_puncture_tpu.tasks import ClassifierNet
+
+        det = YOLO(args.yolo_model, nc=1)
+        cls = ClassifierNet(
+            args.cls_model or "efficientnet_b3",
+            **({"input_size": args.crop_size} if args.crop_size else {}),
+        )
+        pipe = VideoSpeedPipeline(
+            det, cls, device_batch=args.batch, imgsz=args.imgsz,
+            **({"crop_size": args.crop_size} if args.crop_size else {}),
+        )
+    else:
+        pipe = build_pipeline(args.yolo_model, args.classify_model, args.batch,
+                              args.imgsz)
+    if args.det_init:
+        from flax import serialization
+
+        with open(args.det_init, "rb") as f:
+            pipe.detector.variables = serialization.from_bytes(
+                pipe.detector.variables, f.read())
+    if args.cls_init:
+        from flax import serialization
+
+        with open(args.cls_init, "rb") as f:
+            pipe.classifier.variables = serialization.from_bytes(
+                pipe.classifier.variables, f.read())
 
     if os.path.isdir(args.path):
         videos = sorted(
@@ -49,10 +101,10 @@ def main(argv=None):
     for vp in videos:
         name = os.path.splitext(os.path.basename(vp))[0]
         m = re.search(r"video(\d+)", name)
-        if not m or int(m.group(1)) not in KEY_FRAME:
+        if not m or int(m.group(1)) not in key_frame:
             print(f"{name}: no ground truth, skipping")
             continue
-        act = tuple(KEY_FRAME[int(m.group(1))])
+        act = tuple(key_frame[int(m.group(1))])
         fps, _, _, frames = iter_video_frames(vp)
         out = pipe.process_frames(frames, fps, conf=args.yolo_conf_threshold,
                                   judge_wnd=args.judge_wnd)

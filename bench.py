@@ -376,10 +376,12 @@ def main():
                 # ~2× less readout work than the reference stage.
                 core = TrackerCore(
                     image_size=reference_tracker_geometry((720, 1280)),
-                    max_objects=4, mem_frames=8,
+                    max_objects=int(os.environ.get("BENCH_MAXOBJ", "4")),
+                    mem_frames=8,
                     mem_every=int(os.environ.get("BENCH_WINDOW", "4")),
                     enable_long_term=long_term, dtype=jnp.bfloat16,
-                    subpix_tail=True, pyramid_adapter=shared,
+                    subpix_tail=os.environ.get("BENCH_SUBPIX", "1") != "0",
+                    pyramid_adapter=shared,
                     quantized_memory=int8_mem, flash_readout=flash,
                     # bf16 affinity (BENCH_AFF16=0 opts out): halves the
                     # (Q, M) softmax intermediate — the profiled bottleneck

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Drive apps/evaluate_speed.py once on synthetic-protocol videos (VERDICT r2
+item 10): the reference KEY_FRAME harness itself — video{N}.mp4 discovery,
+ground-truth table lookup, compute_metrics raw/Gaussian/SavGol ablation —
+exercised end to end, not just its ingredients.
+
+Generates the e2e protocol's synthetic puncture videos, encodes them as
+``video{N}.mp4``, trains the protocol's detector + classifier (same knobs as
+tools/e2e_accuracy_eval.py), writes a key-frame JSON, and invokes
+apps.evaluate_speed.main with --key_frames/--det_init/--cls_init.  Appends the
+harness output to docs/e2e_accuracy.md.
+
+    JAX_PLATFORMS=cpu python tools/drive_evaluate_speed.py
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import numpy as np
+
+
+def main():
+    import cv2
+
+    from tools.e2e_accuracy_eval import (
+        make_puncture_video,
+        train_classifier,
+        train_detector,
+    )
+
+    out_dir = "/tmp/eval_speed_videos"
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    train_videos = [make_puncture_video(rng, n_frames=64) for _ in range(4)]
+    eval_videos = [make_puncture_video(rng, n_frames=64) for _ in range(3)]
+
+    key_frames = {}
+    for i, (frames, gt) in enumerate(eval_videos, start=1):
+        vp = os.path.join(out_dir, f"video{i}.mp4")
+        h, w = frames[0].shape[:2]
+        wtr = cv2.VideoWriter(
+            vp, cv2.VideoWriter_fourcc(*"mp4v"), gt["fps"], (w, h)
+        )
+        for f in frames:
+            wtr.write(f)
+        wtr.release()
+        # actual (start, end): end = key + frames for the 2 mm visible-length
+        # drop at the known speed (compute_metrics' speed contract)
+        end = gt["key_frame"] + int(round(2.0 / gt["speed_mm_s"] * gt["fps"]))
+        key_frames[i] = [int(gt["key_frame"]), int(end)]
+    kf_path = os.path.join(out_dir, "key_frames.json")
+    with open(kf_path, "w") as f:
+        json.dump(key_frames, f)
+    print("videos + ground truth written:", key_frames, flush=True)
+
+    det = train_detector(train_videos, steps=500, seed=0, model_name="yolo10n-seg")
+    cls_net = train_classifier(train_videos, 96, epochs=3, seed=0)
+    from flax import serialization
+
+    det_p = os.path.join(out_dir, "det.msgpack")
+    cls_p = os.path.join(out_dir, "cls.msgpack")
+    with open(det_p, "wb") as f:
+        f.write(serialization.to_bytes(det.variables))
+    with open(cls_p, "wb") as f:
+        f.write(serialization.to_bytes(cls_net.variables))
+
+    from apps.evaluate_speed import main as eval_main
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        devs = eval_main([
+            "-p", out_dir, "-ym", "yolo10n-seg", "--imgsz", "128",
+            "--batch", "8", "-yct", "0.35", "-jw", "10",
+            "--key_frames", kf_path, "--det_init", det_p,
+            "--cls_init", cls_p, "--cls_model", "efficientnet_b0",
+            "--crop_size", "96",
+        ])
+    text = buf.getvalue()
+    print(text, flush=True)
+    assert devs, "harness produced no deviations"
+
+    doc = os.path.join(REPO, "docs", "e2e_accuracy.md")
+    with open(doc, "a") as f:
+        f.write(
+            "\n## evaluate_speed.py harness drive (reference KEY_FRAME protocol)\n\n"
+            "The reference evaluation harness (`apps/evaluate_speed.py` — "
+            "video{N}.mp4 discovery, KEY_FRAME table override, compute_metrics "
+            "raw/Gaussian/SavGol ablation; ref "
+            "yolo_seg/utils/speed_tools.py:76-97) driven on 3 held-out "
+            "synthetic-protocol videos with the protocol's trained detector "
+            "and classifier (tools/drive_evaluate_speed.py):\n\n```\n"
+            + text.strip() + "\n```\n"
+        )
+    print("appended harness drive to docs/e2e_accuracy.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

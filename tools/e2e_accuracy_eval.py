@@ -178,6 +178,9 @@ def main():
                     help="save the trained detector variables (flax msgpack) — "
                     "e.g. as a TRAINED backbone for shared-pyramid tracker "
                     "training (apps/train_tracker.py --shared --backbone_init)")
+    ap.add_argument("--save_cls", default=None,
+                    help="save the trained classifier variables (flax msgpack) "
+                    "— reusable by apps/evaluate_speed.py --cls_init")
     ap.add_argument("--out", default=None,
                     help="output doc; defaults to docs/e2e_accuracy.md for the "
                     "full protocol and docs/e2e_accuracy_quick.md for --quick "
@@ -226,6 +229,12 @@ def main():
     crop_size = 96
     cls_net = train_classifier(train_videos, crop_size, epochs=args.cls_epochs,
                                seed=args.seed)
+    if args.save_cls:
+        from flax import serialization
+
+        with open(args.save_cls, "wb") as f:
+            f.write(serialization.to_bytes(cls_net.variables))
+        print(f"saved trained classifier variables → {args.save_cls}", flush=True)
 
     from yolo_puncture_tpu.pipeline.runner import VideoSpeedPipeline
 

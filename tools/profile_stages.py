@@ -102,6 +102,29 @@ def main():
             )
         if upto == 3:
             return chk + keys.astype(jnp.float32)[:, ::13, ::13].sum(), mem
+        if upto == 35:
+            # memory-coupled scan ONLY (readout + head + sensory + writes) —
+            # no decode tail, no ids
+            import jax as _jax
+
+            B = keys.shape[0]
+            W = 4
+            nw = B // W
+
+            def body(memory, inp):
+                keys_w, f16_w = inp
+                memory, hidden, _ = core._propagate_scan_core(
+                    trk_vars, memory, keys_w, f16_w, exact=True
+                )
+                return memory, hidden
+
+            mem2, hidden = _jax.lax.scan(
+                body, mem,
+                (keys.reshape(nw, W, *keys.shape[1:]),
+                 skips["f16"].reshape(nw, W, *skips["f16"].shape[1:])),
+            )
+            chk = chk + hidden.astype(jnp.float32)[:, :, :, ::7, ::7].sum()
+            return chk, mem2
         if upto == 4:
             mem, ids_s4 = core.propagate_frames(
                 trk_vars, mem, keys, skips, window=4, exact=True
@@ -119,8 +142,8 @@ def main():
     if not shared:
         names.append("+tracker resize")
         uptos.append(25)
-    names += ["+trk encode", "+propagate (s4 ids)", "+full-res ids"]
-    uptos += [3, 4, 5]
+    names += ["+trk encode", "+scan (no tail)", "+propagate (s4 ids)", "+full-res ids"]
+    uptos += [3, 35, 4, 5]
     steps = [
         jax.jit(lambda v, m, f, c, k, u=u: pipeline(v, m, f, c, k, u))
         for u in uptos
