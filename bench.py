@@ -374,9 +374,15 @@ def main():
                 # reference DEVA geometry: min-side 480 at the 720p source
                 # aspect, /16-padded → (480, 864).  A 480² square would do
                 # ~2× less readout work than the reference stage.
+                # max_objects=2 matches the quality protocol exactly
+                # (tools/eval_tracker_quality.py measures the holdout IoU at
+                # 2 slots) and the puncture domain (the reference pipeline
+                # tracks the single best-conf needle, app.py:97; DEVA at
+                # conf=0.9 + small-object suppression yields 1-2 instances).
+                # BENCH_MAXOBJ=4/8 measures the higher-capacity configs.
                 core = TrackerCore(
                     image_size=reference_tracker_geometry((720, 1280)),
-                    max_objects=int(os.environ.get("BENCH_MAXOBJ", "4")),
+                    max_objects=int(os.environ.get("BENCH_MAXOBJ", "2")),
                     mem_frames=8,
                     mem_every=int(os.environ.get("BENCH_WINDOW", "4")),
                     enable_long_term=long_term, dtype=jnp.bfloat16,

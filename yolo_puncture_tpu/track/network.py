@@ -402,6 +402,19 @@ def memory_readout_dense(query_key, mem_keys, mem_values, mem_valid, return_usag
     # the (No, Q, Cv) readout AFTER the matmul — one fewer pass over the (Q, M)
     # tensor, which is the largest intermediate of the whole tracker step
     p = (jnp.exp(aff.astype(jnp.float32) - m) * valid).astype(mem_values.dtype)
+    if not return_usage:
+        # fold the softmax denominator into the value matmul (ones column on
+        # object slot 0): one fewer full pass over the (Q, M) weights
+        No, M, Cv = mem_values.shape
+        ones_col = jnp.ones((1, M, 1), mem_values.dtype)
+        vals_aug = jnp.concatenate(
+            [mem_values, jnp.broadcast_to(ones_col, (No, M, 1))], axis=-1
+        )
+        out_aug = jnp.einsum(
+            "qm,nmc->nqc", p, vals_aug, preferred_element_type=jnp.float32
+        )
+        l = jnp.maximum(out_aug[0, :, -1:], 1e-9)  # (Q, 1)
+        return (out_aug[..., :-1] / l[None]).astype(mem_values.dtype)
     l = jnp.maximum(jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True), 1e-9)
     out = jnp.einsum(
         "qm,nmc->nqc", p, mem_values, preferred_element_type=jnp.float32
@@ -536,16 +549,21 @@ def decode_tail_subpix(variables, hidden, f8p, f4p, *, dtype=jnp.bfloat16):
         return g, b
 
     def stage(x, name, Cout):
-        """x (B, H, W, Cin) → parity-grouped conv + BN + SiLU → (B, H, W, 4, Cout)."""
+        """x (B, H, W, Cin) → parity-grouped conv + BN + SiLU → (B, H, W, 4, Cout).
+
+        Conv output, BN affine, and SiLU all stay in ``dtype`` (the MXU still
+        accumulates fp32 internally): an fp32 intermediate here materializes
+        ~1.7 GB per 64-frame batch at the dec4 stage alone — the tail is
+        bandwidth-bound, not FLOP-bound, at these shapes."""
         W = _subpix_up_weights(p[name]["conv"]["kernel"]).astype(dtype)
         y = jax.lax.conv_general_dilated(
             x, W, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=dtype,
         )
         g, b = bn_affine(name)
-        y = y.reshape(*y.shape[:-1], 4, Cout) * g + b
-        return jax.nn.silu(y).astype(dtype)
+        y = y.reshape(*y.shape[:-1], 4, Cout) * g.astype(dtype) + b.astype(dtype)
+        return jax.nn.silu(y)
 
     Cd = p["dec8"]["conv"]["kernel"].shape[-1]
     h = hidden.reshape(N * No, H16, W16, Cin).astype(dtype)
