@@ -72,6 +72,8 @@ def cmd_train(kv):
     state = trainer.fit(
         ds, epochs=epochs, batch_size=batch, ckpt_dir=ckpt,
         close_mosaic=int(kv.get("close_mosaic", 10)),
+        ckpt_every=int(kv.get("ckpt_every", 1000)),
+        resume=kv.get("resume"),
     )
     print(f"training done: {int(state.step)} steps; checkpoints in {ckpt}")
     return state

@@ -687,3 +687,28 @@ def test_exact_windowed_matches_per_frame(long_term):
                                    np.asarray(memA.lt_keys), atol=2e-5)
         np.testing.assert_array_equal(np.asarray(memB.lt_valid),
                                       np.asarray(memA.lt_valid))
+
+
+def test_folded_denominator_readout_matches_classic():
+    """The return_usage=False fast path folds the softmax denominator into the
+    value matmul (ones column); it must match the classic separate-sum path
+    (return_usage=True) bit-near-exactly, including rows with no valid memory."""
+    import jax.numpy as jnp
+
+    from yolo_puncture_tpu.track.network import memory_readout_dense
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((29, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((180, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3, 180, 16)), jnp.float32)
+    for frac in (0.5, 0.0):  # half-valid and ALL-INVALID memory
+        valid = jnp.asarray(rng.random(180) < frac)
+        fast = memory_readout_dense(q, k, v, valid)
+        classic, _ = memory_readout_dense(q, k, v, valid, return_usage=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(classic),
+                                   atol=1e-6)
+    # bf16 affinity stays close to fp32 (quality-validated knob)
+    valid = jnp.asarray(rng.random(180) < 0.7)
+    a16 = memory_readout_dense(q, k, v, valid, affinity_bf16=True)
+    a32 = memory_readout_dense(q, k, v, valid)
+    np.testing.assert_allclose(np.asarray(a16), np.asarray(a32), atol=0.02)
