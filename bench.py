@@ -57,8 +57,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # distinguishable from a perf regression.  value/vs_baseline in the bail line
 # stay 0.0: nothing was measured THIS run.
 LAST_MEASURED = {
-    "fps": 724.0, "date": "2026-08-20",
-    "config": "fused+shared b128, honest 480x864 tracker geometry",
+    "fps": 492.6, "date": "2026-08-20",
+    "config": "quality-default r3: self-contained encoder, exact window4, "
+              "full-res ids, max_objects=2, b64, honest 480x864 geometry "
+              "(0.936 holdout IoU — docs/bench_matrix_r3.md)",
 }
 
 # the axon plugin force-registers at jax import and ignores the JAX_PLATFORMS

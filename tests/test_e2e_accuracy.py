@@ -31,8 +31,11 @@ def test_full_protocol_meets_quality_floor(tmp_path):
         capture_output=True, text=True, timeout=5400, env=env, cwd=REPO,
     )
     assert r.returncode == 0, r.stderr[-2000:]
+    # the LAST {-line is the json.dumps summary (earlier {-lines are python
+    # dict-repr per-video progress rows — not JSON)
     line = next(
-        (ln for ln in r.stdout.splitlines() if ln.startswith("{")), None)
+        (ln for ln in reversed(r.stdout.splitlines()) if ln.startswith("{")),
+        None)
     assert line, f"no JSON line in output:\n{r.stdout[-2000:]}"
     d = json.loads(line)
     assert d["videos_with_estimate"] >= 5, d
