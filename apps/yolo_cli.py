@@ -92,7 +92,26 @@ def cmd_val(kv):
     conf = float(kv.get("conf", 0.001))
     nc = int(kv.get("nc", 1))
 
-    det = YOLO(model_path, nc=nc)
+    if os.path.isdir(model_path):
+        # orbax checkpoint dir from `yolo_cli train` (runs/*/step_N): build the
+        # architecture from arch= (the dir name carries no model name) and
+        # restore the trained params — EMA weights when present (ultralytics
+        # vals the EMA)
+        from yolo_puncture_tpu.train import Trainer
+
+        det = YOLO(kv.get("arch", "yolo10s-seg"), nc=nc)
+        restored = Trainer.load_checkpoint(model_path)
+        # use_ema=true vals the EMA weights (ultralytics default) — but on
+        # SHORT runs a high-decay EMA is still near its init; raw params are
+        # the honest choice below a few thousand steps
+        use_ema = kv.get("use_ema", "false").lower() == "true"
+        params = (restored.get("ema_params") if use_ema else None) or restored["params"]
+        det.variables = {
+            "params": params,
+            "batch_stats": restored.get("batch_stats", {}),
+        }
+    else:
+        det = YOLO(model_path, nc=nc)
     ds = SegDataset(data, split="val", imgsz=imgsz, augment=False)
     preds, gts = [], []
     for i in range(len(ds)):
