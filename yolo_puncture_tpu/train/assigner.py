@@ -79,7 +79,13 @@ def task_aligned_assign(
         )  # (M, A) — scores.T is (nc, A); take per-gt class row
         overlaps = bbox_ciou(gboxes[:, None, :], boxes[None, :, :])  # (M, A)
         overlaps = jnp.clip(overlaps, 0)
-        metric = (cls_score ** alpha) * (overlaps ** beta)
+        # confidence floor: if a head's confidence collapses (the topk-1 o2o
+        # branch at 640² drove itself to ~1e-20), conf^α underflows the
+        # gt_alive gate below and the GT permanently loses ALL positives —
+        # a cold-start deadlock (no positive → BCE keeps pushing down).
+        # Flooring the factor keeps the metric IoU-ordered and the GT alive
+        # regardless of the current confidence; inert once conf ≫ 1e-3.
+        metric = (jnp.maximum(cls_score, 1e-3) ** alpha) * (overlaps ** beta)
         valid = in_gts & gmask[:, None]
         metric = jnp.where(valid, metric, 0.0)
 
