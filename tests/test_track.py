@@ -712,3 +712,57 @@ def test_folded_denominator_readout_matches_classic():
     a16 = memory_readout_dense(q, k, v, valid, affinity_bf16=True)
     a32 = memory_readout_dense(q, k, v, valid)
     np.testing.assert_allclose(np.asarray(a16), np.asarray(a32), atol=0.02)
+
+
+def test_step_batch_partial_window_matches_per_frame():
+    """step_batch on T not a multiple of mem_every: full windows run the exact
+    windowed path, the trailing partial window falls back to per-frame step()
+    — so the whole run (probs AND memory trajectory, including frame_idx and
+    ring contents) matches a pure per-frame step() loop.  Round 3 padded the
+    partial window with a duplicate final frame, which wrote a spurious ring
+    entry and advanced frame_idx past the real frame count (ADVICE r3)."""
+    W = 4
+    mk = dict(image_size=(64, 96), max_objects=2, mem_frames=4, mem_every=W,
+              enable_long_term=False, exact_windows=True)
+    coreA = TrackerCore(**mk)
+    coreB = TrackerCore(**mk, variables=coreA.variables)
+
+    rng = np.random.default_rng(11)
+    frames = [rng.uniform(0, 1, size=(64, 96, 3)).astype(np.float32)
+              for _ in range(W + 3)]  # 1 full window + 3-frame partial run
+    mask = _disk_mask()
+    pA0 = coreA.incorporate_detection(_frame(0), mask, [ObjectInfo(id=1)])
+    pB0 = coreB.incorporate_detection(_frame(0), mask, [ObjectInfo(id=1)])
+    np.testing.assert_allclose(pB0, pA0, atol=1e-6)
+
+    probsA = np.stack([coreA.step(f) for f in frames])
+    probsB = coreB.step_batch(frames)
+    assert probsB.shape == probsA.shape  # (W+3, No+1, H, W) — no padded rows
+    np.testing.assert_allclose(probsB, probsA, atol=2e-5)
+    # memory trajectory identical: no duplicate-frame write, no frame_idx drift
+    assert int(coreB.memory.frame_idx) == int(coreA.memory.frame_idx)
+    assert int(coreB.memory.write_pos) == int(coreA.memory.write_pos)
+    np.testing.assert_array_equal(np.asarray(coreB.memory.valid),
+                                  np.asarray(coreA.memory.valid))
+    np.testing.assert_allclose(np.asarray(coreB.memory.keys),
+                               np.asarray(coreA.memory.keys), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(coreB.memory.sensory),
+                               np.asarray(coreA.memory.sensory), atol=2e-5)
+
+
+def test_propagate_frames_exact_requires_cadence_window():
+    """exact=True with window != mem_every silently changes the ring-write
+    cadence vs step(); it must be rejected, not silently approximated."""
+    import jax.numpy as jnp
+
+    from yolo_puncture_tpu.track.network import PropagationNetwork
+
+    core = TrackerCore(image_size=(64, 96), max_objects=2, mem_frames=4,
+                       mem_every=4, enable_long_term=False)
+    imgs = jnp.zeros((8, 64, 96, 3), jnp.float32)
+    keys, skips = core.net.apply(
+        core.variables, imgs, method=PropagationNetwork.encode_key
+    )
+    with pytest.raises(ValueError, match="mem_every"):
+        core.propagate_frames(core.variables, core.memory, keys, skips,
+                              window=2, exact=True)

@@ -42,10 +42,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_realistic_clip(rng, T, h, w, shrink=True):
-    """Needle-like rotated bar over textured drifting background.
+def make_realistic_clip(rng, T, h, w, shrink=True, n_objects=1, occluder=False):
+    """Needle-like rotated bar(s) over textured drifting background.
 
-    Returns images (T, h, w, 3) float[0,1], masks (T, 1, h, w) float{0,1}."""
+    ``n_objects=2`` adds a second independently-moving bar (multi-instance;
+    where the bars cross, the later-drawn bar owns the pixel — visible-region
+    ground truth, VOS convention).  ``occluder=True`` sweeps a dark elliptical
+    blob across the scene; occluded pixels belong to no object (frames where
+    an object is fully hidden have empty GT and are skipped in scoring).
+
+    Returns images (T, h, w, 3) float[0,1], masks (T, n_objects, h, w)
+    float{0,1}."""
     # textured background: smoothed noise + gradient, drifting
     base = rng.uniform(0.2, 0.6, size=(h + 40, w + 40, 3)).astype(np.float32)
     k = np.ones((9, 9), np.float32) / 81.0
@@ -56,30 +63,55 @@ def make_realistic_clip(rng, T, h, w, shrink=True):
     gy = np.linspace(0, 0.15, h + 40)[:, None, None]
     base = np.clip(base + gy, 0, 1)
 
-    cx, cy = w * rng.uniform(0.35, 0.65), h * rng.uniform(0.35, 0.65)
-    angle = rng.uniform(-0.5, 0.5)
-    length = min(h, w) * rng.uniform(0.55, 0.8)
-    width = max(3.0, min(h, w) * 0.06)
-    vx, vy = rng.uniform(-2.0, 2.0), rng.uniform(-1.5, 1.5)
-    va = rng.uniform(-0.02, 0.02)
-    color = rng.uniform(0.75, 0.95, size=3)
+    objs = []
+    for k in range(n_objects):
+        objs.append(dict(
+            cx=w * rng.uniform(0.3, 0.7), cy=h * rng.uniform(0.3, 0.7),
+            angle=rng.uniform(-0.5, 0.5) + (1.1 if k else 0.0),  # 2nd bar crosses
+            length=min(h, w) * rng.uniform(0.55, 0.8),
+            width=max(3.0, min(h, w) * 0.06),
+            vx=rng.uniform(-2.0, 2.0), vy=rng.uniform(-1.5, 1.5),
+            va=rng.uniform(-0.02, 0.02),
+            color=rng.uniform(0.75, 0.95, size=3),
+        ))
+    if occluder:
+        # dark blob sweeping left→right across the clip (hand/shadow analog)
+        occ = dict(
+            cy=h * rng.uniform(0.35, 0.65), ry=h * rng.uniform(0.18, 0.3),
+            rx=w * rng.uniform(0.10, 0.16),
+            shade=rng.uniform(0.05, 0.18, size=3),
+        )
 
     images = np.zeros((T, h, w, 3), np.float32)
-    masks = np.zeros((T, 1, h, w), np.float32)
+    masks = np.zeros((T, n_objects, h, w), np.float32)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     for t in range(T):
         ox, oy = int(2 * t) % 40, int(1 * t) % 40
         img = base[oy:oy + h, ox:ox + w].copy()
         img *= rng.uniform(0.92, 1.08)  # illumination jitter
-        a = angle + va * t
-        ca, sa = np.cos(a), np.sin(a)
-        lcur = length * (1.0 - (0.04 * t if shrink else 0.0))
-        u = (xx - (cx + vx * t)) * ca + (yy - (cy + vy * t)) * sa
-        v = -(xx - (cx + vx * t)) * sa + (yy - (cy + vy * t)) * ca
-        m = (np.abs(u) < lcur / 2) & (np.abs(v) < width / 2)
-        img[m] = color * rng.uniform(0.95, 1.05)
+        frame_ms = []
+        for k, o in enumerate(objs):
+            a = o["angle"] + o["va"] * t
+            ca, sa = np.cos(a), np.sin(a)
+            lcur = o["length"] * (1.0 - (0.04 * t if shrink and k == 0 else 0.0))
+            u = (xx - (o["cx"] + o["vx"] * t)) * ca + (yy - (o["cy"] + o["vy"] * t)) * sa
+            v = -(xx - (o["cx"] + o["vx"] * t)) * sa + (yy - (o["cy"] + o["vy"] * t)) * ca
+            m = (np.abs(u) < lcur / 2) & (np.abs(v) < o["width"] / 2)
+            img[m] = o["color"] * rng.uniform(0.95, 1.05)
+            # visible-region GT: later-drawn bars own crossing pixels
+            for prev in frame_ms:
+                prev &= ~m
+            frame_ms.append(m)
+        if occluder:
+            # sweep: enters at ~T/4, exits at ~3T/4
+            ocx = w * (-0.2 + 1.4 * t / max(T - 1, 1))
+            om = (((xx - ocx) / occ["rx"]) ** 2 + ((yy - occ["cy"]) / occ["ry"]) ** 2) < 1.0
+            img[om] = occ["shade"] * rng.uniform(0.9, 1.1)
+            for m in frame_ms:
+                m &= ~om
+        for k, m in enumerate(frame_ms):
+            masks[t, k] = m.astype(np.float32)
         images[t] = np.clip(img, 0, 1)
-        masks[t, 0] = m.astype(np.float32)
     return images, masks
 
 
@@ -112,12 +144,24 @@ def eval_config(name, core, clips, window=0, pyramid_fn=None, exact=False):
     )
     from yolo_puncture_tpu.ops.masks import upsample_bilinear_matmul
 
+    def score_ids(ids_t, masks_t, K):
+        """Per-object IoU at one frame; objects with empty GT (fully occluded
+        or off-frame) are skipped — VOS convention."""
+        for k in range(K):
+            gt = masks_t[k] > 0.5
+            if not gt.any():
+                continue
+            v = _iou(ids_t == (k + 1), gt)
+            if not np.isnan(v):
+                ious.append(v)
+
     for images, masks in clips:
-        T = images.shape[0]
+        T, K = images.shape[0], min(masks.shape[1], No)
         onehot0 = np.zeros((No, *images.shape[1:3]), np.float32)
-        onehot0[0] = masks[0, 0]
         obj_valid = np.zeros((No,), bool)
-        obj_valid[0] = True
+        for k in range(K):
+            onehot0[k] = masks[0, k]
+            obj_valid[k] = bool(masks[0, k].any())
 
         if pyramid_fn is not None:
             keys, skips = jit_enc_pyr(core.variables, jnp.asarray(images))
@@ -132,6 +176,18 @@ def eval_config(name, core, clips, window=0, pyramid_fn=None, exact=False):
             t = 1
             while t < T:
                 e = min(t + window, T)
+                if e - t < window:
+                    # trailing partial window: per-frame step() fallback (the
+                    # step_batch semantics since r4 — a short window would
+                    # change the write cadence vs per-frame, ADVICE r3)
+                    for tt in range(t, e):
+                        prob, mem = jit_step(
+                            core.variables, mem, keys[tt],
+                            {k: v[tt] for k, v in skips.items()},
+                        )
+                        score_ids(np.asarray(jnp.argmax(prob, 0)), masks[tt], K)
+                    t = e
+                    continue
                 act = mem.active.astype(np.float32)
                 mem, logits_s4 = jit_win(
                     core.variables, mem,
@@ -149,10 +205,8 @@ def eval_config(name, core, clips, window=0, pyramid_fn=None, exact=False):
                 probs = jax.vmap(lambda lg: soft_aggregate(lg, jnp.asarray(act)))(logits)
                 ids = np.asarray(jnp.argmax(probs, axis=1))
                 for j in range(e - t):
-                    pred = ids[j][: images.shape[1], : images.shape[2]] == 1
-                    v = _iou(pred, masks[t + j, 0] > 0.5)
-                    if not np.isnan(v):
-                        ious.append(v)
+                    score_ids(ids[j][: images.shape[1], : images.shape[2]],
+                              masks[t + j], K)
                 t = e
         else:
             for t in range(1, T):
@@ -160,19 +214,16 @@ def eval_config(name, core, clips, window=0, pyramid_fn=None, exact=False):
                     core.variables, mem, keys[t],
                     {k: v[t] for k, v in skips.items()},
                 )
-                pred = np.asarray(jnp.argmax(prob, 0)) == 1
-                v = _iou(pred, masks[t, 0] > 0.5)
-                if not np.isnan(v):
-                    ious.append(v)
+                score_ids(np.asarray(jnp.argmax(prob, 0)), masks[t], K)
     return float(np.mean(ious)) if ious else 0.0
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--height", type=int, default=96)
-    ap.add_argument("--width", type=int, default=160)
-    ap.add_argument("--frames", type=int, default=10)
-    ap.add_argument("--clips", type=int, default=4)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--width", type=int, default=432)
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--clips", type=int, default=16)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--serving", action="store_true",
@@ -189,6 +240,9 @@ def main():
         REPO, "resources", "weights", "tracker_shared.msgpack"))
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "tracker_quality.md"))
     args = ap.parse_args()
+    if args.quick:
+        # CPU-smoke scale (the r1-r3 protocol geometry)
+        args.height, args.width, args.frames, args.clips = 96, 160, 10, 2
     if args.serving:
         return serving_eval(args)
 
@@ -196,9 +250,16 @@ def main():
     from yolo_puncture_tpu.track.train import make_yolo_pyramid_fn, pyramid_channels_for
 
     rng = np.random.default_rng(args.seed)
+    # r4 protocol mix (VERDICT r3 item 5): half the clips are multi-instance
+    # (a second crossing bar), half of each group sweeps a dark occluder
+    # across the scene.  --quick keeps the old tiny single-object protocol.
     clips = [
-        make_realistic_clip(rng, args.frames, args.height, args.width)
-        for _ in range(args.clips)
+        make_realistic_clip(
+            rng, args.frames, args.height, args.width,
+            n_objects=(2 if i % 2 else 1) if not args.quick else 1,
+            occluder=(i % 4 >= 2) and not args.quick,
+        )
+        for i in range(args.clips)
     ]
     size = (args.height, args.width)
     base_kw = dict(
@@ -216,11 +277,18 @@ def main():
         ("base (per-frame, fp32)", core_of(), dict()),
         ("window4 (legacy approx)", core_of(), dict(window=4, exact=False)),
         ("exact window4 (headline)", core_of(), dict(window=4, exact=True)),
+        # the configuration bench.py actually ships by default: exact window4
+        # + subpix tail + bf16 compute dtype + bf16 affinity (ADVICE r3: these
+        # knobs must be quality-measured together, not assumed from fp32 rows)
+        ("bench-exact (bf16 dtype+affinity, subpix tail)",
+         core_of(subpix_tail=True, affinity_bf16=True, dtype=jnp.bfloat16),
+         dict(window=4, exact=True)),
         ("subpix_tail", core_of(subpix_tail=True), dict()),
         ("int8 memory", core_of(quantized_memory=True), dict()),
+        ("max_objects=4", core_of(max_objects=4), dict(window=4, exact=True)),
     ]
     if args.quick:
-        configs = configs[:3]
+        configs = configs[:4]
     elif os.path.exists(args.shared_weights):
         # seed=0 matches the frozen backbone the shared checkpoint trained against
         pyr_fn, _ = make_yolo_pyramid_fn("v10", "s", seed=0, dtype=jnp.float32)
@@ -243,10 +311,14 @@ def main():
     with open(args.out, "w") as f:
         f.write(
             "# Tracker propagation quality vs perf knobs\n\n"
-            f"Protocol: {args.clips} held-out realistic clips ({args.frames} frames @ "
-            f"{args.height}×{args.width}), textured drifting background, rotated "
-            "shrinking needle-like object — outside the moving-bar training "
-            "distribution.  Propagate from frame-0 GT; mean per-frame IoU vs GT.\n"
+            f"Protocol (r4, VERDICT r3 item 5): {args.clips} held-out realistic "
+            f"clips ({args.frames} frames @ {args.height}×{args.width}), textured "
+            "drifting background, rotated shrinking needle-like objects — outside "
+            "the moving-bar training distribution.  Half the clips are "
+            "multi-instance (a second crossing bar; visible-region GT at "
+            "crossings), half of each group has a dark occluder sweeping the "
+            "scene (fully-occluded frames skipped per object, VOS convention).  "
+            "Propagate from frame-0 GT; mean per-frame per-object IoU vs GT.\n"
             f"Checkpoint: `{os.path.relpath(args.weights, REPO)}`.\n"
             "Generated by `tools/eval_tracker_quality.py` "
             "(VERDICT.md round-1 item 4).\n\n"
@@ -256,6 +328,11 @@ def main():
             f.write(f"| {name} | {iou:.3f} | {d:+.3f} |\n")
         f.write(
             "\nNotes:\n"
+            "- `bench-exact` is the configuration `python bench.py` ships by\n"
+            "  default — exact window4 + subpix tail + bf16 compute dtype +\n"
+            "  bf16 affinity (BENCH_AFF16=1) — measured here as ONE row so the\n"
+            "  headline (fps, IoU) pair cites a configuration that was actually\n"
+            "  run through the quality protocol (ADVICE r3).\n"
             "- `exact window4` is the HEADLINE bench configuration: the ring\n"
             "  readout batches per write window (exact — the ring only changes\n"
             "  at window-end writes) while the sensory GRU threads per frame;\n"

@@ -16,6 +16,18 @@ Layering (bottom-up):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # The axon TPU plugin force-registers itself at `import jax` and IGNORES
+    # the JAX_PLATFORMS env var; honor the var here (before any backend use)
+    # so every entry point — apps/, tools/, plain `import yolo_puncture_tpu`
+    # — can be forced onto CPU with the documented env var.  No-op unless the
+    # user set it explicitly.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from yolo_puncture_tpu.utils.config import get_config  # noqa: F401
 from yolo_puncture_tpu.registry import create_model, register_model, list_models  # noqa: F401
 

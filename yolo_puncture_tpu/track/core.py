@@ -466,7 +466,11 @@ class TrackerCore:
         cadence = w ≡ mem_every).  Sequential length per video drops w×.
 
         ``exact=True`` threads the sensory GRU per frame inside the window
-        (per-frame-equivalent semantics — see _propagate_scan_core).
+        (per-frame-equivalent semantics — see _propagate_scan_core).  As with
+        ``propagate_frames``, equivalence to per-frame ``step()`` requires
+        ``w == mem_every`` and a window boundary right after a write frame
+        (``memory.frame_idx % mem_every == 1`` at entry); other alignments
+        run the windowed approximation (one write at window end).
 
         keys_w (w, H16, W16, Ck); skips_w dict of (w, ...) arrays (raw f4/f8
         or preprojected f4p/f8p; f16 always).
@@ -611,6 +615,14 @@ class TrackerCore:
         ``exact=True``: per-frame-equivalent semantics (sensory GRU threaded
         through every frame, ring readout still batched per window — see
         _propagate_scan_core).  Write cadence stays ``window`` either way.
+        Per-frame equivalence additionally requires ``window == mem_every``
+        (enforced below: any other window silently changes the write cadence
+        vs ``step()``) and the window boundary to sit right after a write
+        frame — i.e. ``memory.frame_idx % mem_every == 1`` at entry, the state
+        ``step()`` leaves after a frame whose write fired.  Misaligned entry
+        still runs, with writes at window ends instead of the per-frame
+        phase (the windowed approximation, measured at −0.001 IoU in
+        docs/tracker_quality_serving.md).
 
         keys (B, H16, W16, Ck); skips dict of (B, ...) arrays.  Returns
         (memory, ids_s4 (B, H4, W4) uint8) — argmax id maps at stride 4 — or:
@@ -624,6 +636,14 @@ class TrackerCore:
         B = keys.shape[0]
         assert B % window == 0, f"batch {B} must be a multiple of window {window}"
         nw = B // window
+        exact_req = self.exact_windows if exact is None else exact
+        if exact_req and window != self.mem_every:
+            raise ValueError(
+                f"exact=True requires window == mem_every "
+                f"({self.mem_every}); got window={window}. A different window "
+                f"changes the ring-write cadence vs per-frame step() — pass "
+                f"exact=False for the windowed approximation at this cadence."
+            )
 
         # 1×1 skip projections AND the stride-4/8 decode tail are memory-
         # independent: only readout → head → sensory → write scans; the tail
@@ -636,7 +656,7 @@ class TrackerCore:
         def wshape(a):
             return a.reshape(nw, window, *a.shape[1:])
 
-        exact = self.exact_windows if exact is None else exact
+        exact = exact_req
 
         def body(memory, inp):
             keys_w, f16_w = inp
@@ -840,9 +860,14 @@ class TrackerCore:
 
         Windowed fast path (propagate_window semantics: batched readout/decode
         per write window, sensory deep-update at write frames — validated by
-        tests/test_track.py::test_windowed_propagation_quality).  The last
-        window is padded by repeating the final frame; padded outputs are
-        dropped.  Returns probs (T, No+1, H, W).
+        tests/test_track.py::test_windowed_propagation_quality).  A trailing
+        partial window (T not a multiple of ``mem_every``, e.g. the serving
+        scheduler's detection_every-1 runs) is propagated with per-frame
+        ``step()`` calls — per-frame semantics by construction, so the run
+        neither writes a padded duplicate frame into the ring nor advances
+        ``frame_idx`` past the real frame count (round-3 padded the window by
+        repeating the final frame, which did both).  Returns probs
+        (T, No+1, H, W).
         """
         T = len(images)
         if T == 0:
@@ -850,15 +875,17 @@ class TrackerCore:
             return np.zeros((0, self.max_objects + 1, h, w), np.float32)
         w = max(1, self.mem_every)
         prepped = [self._prep_image(im) for im in images]
-        pad = (-T) % w
-        prepped += [prepped[-1]] * pad
+        rem = T % w
         outs = []
-        for i in range(0, len(prepped), w):
+        for i in range(0, T - rem, w):
             chunk = jnp.stack(prepped[i : i + w])
             probs, self.memory = self._jit_window(self.variables, self.memory, chunk)
             outs.append(np.asarray(probs))
+        for i in range(T - rem, T):
+            prob, self.memory = self._jit_step(self.variables, self.memory, prepped[i])
+            outs.append(np.asarray(prob)[None])
         self.curr_ti += T
-        return np.concatenate(outs, axis=0)[:T]
+        return np.concatenate(outs, axis=0)
 
     def incorporate_detection(self, image, mask, segments_info, incremental: bool = True):
         """mask: (H, W) integer id mask (ids index segments_info order, 1-based)."""
