@@ -57,10 +57,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # distinguishable from a perf regression.  value/vs_baseline in the bail line
 # stay 0.0: nothing was measured THIS run.
 LAST_MEASURED = {
-    "fps": 492.6, "date": "2026-08-20",
-    "config": "quality-default r3: self-contained encoder, exact window4, "
-              "full-res ids, max_objects=2, b64, honest 480x864 geometry "
-              "(0.936 holdout IoU — docs/bench_matrix_r3.md)",
+    "fps": 860.4, "date": "2026-08-21",
+    "config": "quality-default r4: self-contained encoder, exact window4, "
+              "full-res ids, max_objects=2, b128 (the shipped default — the "
+              "r3 'b128 exhausts HBM' claim was falsified once the fp32 "
+              "decode-tail materialization was removed), honest 480x864 "
+              "geometry (docs/bench_matrix_r4.md)",
 }
 
 # the axon plugin force-registers at jax import and ignores the JAX_PLATFORMS

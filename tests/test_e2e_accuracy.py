@@ -2,8 +2,10 @@
 
 Runs the FULL tools/e2e_accuracy_eval.py protocol (fixed seed, 4 train / 6
 eval synthetic videos, 500 detector steps) and asserts the quality floor the
-repo's docs cite: mean relative speed error ≤ 0.25 and held-out mask mAP50
-≥ 0.9.  The protocol collapsed to 0/2 detections when its knobs were halved
+repo's docs cite: mean relative speed error ≤ 0.22, per-video max ≤ 0.40
+(measured r3: 0.191 mean / 0.356 max — VERDICT r3 item 9 tightened the r3
+floor of 0.25 toward the measurement), and held-out mask mAP50 ≥ 0.9.
+The protocol collapsed to 0/2 detections when its knobs were halved
 (round-2 snapshot regression) — this test pins the full-knob configuration so
 a silent protocol change can't clobber the accuracy claims again.
 
@@ -39,6 +41,7 @@ def test_full_protocol_meets_quality_floor(tmp_path):
     assert line, f"no JSON line in output:\n{r.stdout[-2000:]}"
     d = json.loads(line)
     assert d["videos_with_estimate"] >= 5, d
-    assert d["mean_rel_err"] is not None and d["mean_rel_err"] <= 0.25, d
+    assert d["mean_rel_err"] is not None and d["mean_rel_err"] <= 0.22, d
+    assert d["max_rel_err"] is not None and d["max_rel_err"] <= 0.40, d
     assert d["mask_map50"] >= 0.9, d
     assert out_md.exists()

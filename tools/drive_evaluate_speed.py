@@ -28,6 +28,9 @@ if os.environ.get("JAX_PLATFORMS"):
 import numpy as np
 
 
+NOISE_LEVELS = (0.0, 2.0)  # rendered-tip jitter σ in px (mask-extraction noise)
+
+
 def main():
     import cv2
 
@@ -37,37 +40,23 @@ def main():
         train_detector,
     )
 
-    out_dir = "/tmp/eval_speed_videos"
-    os.makedirs(out_dir, exist_ok=True)
+    root = "/tmp/eval_speed_videos"
     rng = np.random.default_rng(0)
     train_videos = [make_puncture_video(rng, n_frames=64) for _ in range(4)]
-    eval_videos = [make_puncture_video(rng, n_frames=64) for _ in range(3)]
 
-    key_frames = {}
-    for i, (frames, gt) in enumerate(eval_videos, start=1):
-        vp = os.path.join(out_dir, f"video{i}.mp4")
-        h, w = frames[0].shape[:2]
-        wtr = cv2.VideoWriter(
-            vp, cv2.VideoWriter_fourcc(*"mp4v"), gt["fps"], (w, h)
-        )
-        for f in frames:
-            wtr.write(f)
-        wtr.release()
-        # actual (start, end): end = key + frames for the 2 mm visible-length
-        # drop at the known speed (compute_metrics' speed contract)
-        end = gt["key_frame"] + int(round(2.0 / gt["speed_mm_s"] * gt["fps"]))
-        key_frames[i] = [int(gt["key_frame"]), int(end)]
-    kf_path = os.path.join(out_dir, "key_frames.json")
-    with open(kf_path, "w") as f:
-        json.dump(key_frames, f)
-    print("videos + ground truth written:", key_frames, flush=True)
+    # identical ground truth (key frame, speed) across noise levels — the
+    # ablation's only variable is the observable length-series noise
+    gt_rng = np.random.default_rng(7)
+    gt_params = [(int(gt_rng.integers(12, 28)), float(gt_rng.uniform(1.5, 4.5)))
+                 for _ in range(3)]
 
+    os.makedirs(root, exist_ok=True)
     det = train_detector(train_videos, steps=500, seed=0, model_name="yolo10n-seg")
     cls_net = train_classifier(train_videos, 96, epochs=3, seed=0)
     from flax import serialization
 
-    det_p = os.path.join(out_dir, "det.msgpack")
-    cls_p = os.path.join(out_dir, "cls.msgpack")
+    det_p = os.path.join(root, "det.msgpack")
+    cls_p = os.path.join(root, "cls.msgpack")
     with open(det_p, "wb") as f:
         f.write(serialization.to_bytes(det.variables))
     with open(cls_p, "wb") as f:
@@ -78,18 +67,58 @@ def main():
     import contextlib
     import io
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        devs = eval_main([
-            "-p", out_dir, "-ym", "yolo10n-seg", "--imgsz", "128",
-            "--batch", "8", "-yct", "0.35", "-jw", "10",
-            "--key_frames", kf_path, "--det_init", det_p,
-            "--cls_init", cls_p, "--cls_model", "efficientnet_b0",
-            "--crop_size", "96",
-        ])
-    text = buf.getvalue()
-    print(text, flush=True)
-    assert devs, "harness produced no deviations"
+    sections = []
+    for noise in NOISE_LEVELS:
+        out_dir = os.path.join(root, f"noise{noise:g}")
+        os.makedirs(out_dir, exist_ok=True)
+        key_frames = {}
+        lens_sigma = []
+        for i, (kf, sp) in enumerate(gt_params, start=1):
+            vrng = np.random.default_rng(200 + i)
+            frames, gt = make_puncture_video(
+                vrng, n_frames=64, key_frame=kf, speed_mm_s=sp,
+                tip_noise_px=noise,
+            )
+            vp = os.path.join(out_dir, f"video{i}.mp4")
+            h, w = frames[0].shape[:2]
+            wtr = cv2.VideoWriter(
+                vp, cv2.VideoWriter_fourcc(*"mp4v"), gt["fps"], (w, h)
+            )
+            for f in frames:
+                wtr.write(f)
+            wtr.release()
+            # actual (start, end): end = key + frames for the 2 mm
+            # visible-length drop at the known speed (compute_metrics contract)
+            end = gt["key_frame"] + int(round(2.0 / gt["speed_mm_s"] * gt["fps"]))
+            key_frames[i] = [int(gt["key_frame"]), int(end)]
+            # observable noise: rendered-length residual vs the clean ramp
+            # over the pre-insertion plateau
+            plateau = np.asarray(gt["lens"][: gt["key_frame"]])
+            lens_sigma.append(float(plateau.std()))
+        kf_path = os.path.join(out_dir, "key_frames.json")
+        with open(kf_path, "w") as f:
+            json.dump(key_frames, f)
+        print(f"[noise σ={noise:g}px] ground truth: {key_frames}; "
+              f"plateau length σ per video: "
+              f"{[round(s, 2) for s in lens_sigma]} px", flush=True)
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            devs = eval_main([
+                "-p", out_dir, "-ym", "yolo10n-seg", "--imgsz", "128",
+                "--batch", "8", "-yct", "0.35", "-jw", "10",
+                "--key_frames", kf_path, "--det_init", det_p,
+                "--cls_init", cls_p, "--cls_model", "efficientnet_b0",
+                "--crop_size", "96",
+            ])
+        text = buf.getvalue()
+        print(text, flush=True)
+        assert devs, "harness produced no deviations"
+        sections.append(
+            f"### tip-noise σ = {noise:g} px "
+            f"(rendered plateau σ: {[round(s, 2) for s in lens_sigma]})\n\n"
+            "```\n" + text.strip() + "\n```\n"
+        )
 
     doc = os.path.join(REPO, "docs", "e2e_accuracy.md")
     with open(doc, "a") as f:
@@ -100,8 +129,9 @@ def main():
             "raw/Gaussian/SavGol ablation; ref "
             "yolo_seg/utils/speed_tools.py:76-97) driven on 3 held-out "
             "synthetic-protocol videos with the protocol's trained detector "
-            "and classifier (tools/drive_evaluate_speed.py):\n\n```\n"
-            + text.strip() + "\n```\n"
+            "and classifier, at two observable-noise levels "
+            "(tools/drive_evaluate_speed.py):\n\n"
+            + "\n".join(sections)
         )
     print("appended harness drive to docs/e2e_accuracy.md", flush=True)
 

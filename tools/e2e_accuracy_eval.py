@@ -45,8 +45,16 @@ INIT_LEN_MM = 20.0
 SKIN_Y = 100
 
 
-def make_puncture_video(rng, n_frames=64, fps=30.0, key_frame=None, speed_mm_s=None):
-    """Returns (frames list of BGR uint8 (SIZE, SIZE, 3), gt dict)."""
+def make_puncture_video(rng, n_frames=64, fps=30.0, key_frame=None, speed_mm_s=None,
+                        tip_noise_px=0.0):
+    """Returns (frames list of BGR uint8 (SIZE, SIZE, 3), gt dict).
+
+    ``tip_noise_px``: per-frame Gaussian jitter (σ, pixels) of the RENDERED
+    needle tip — mask-extraction noise as real footage has (ragged mask
+    boundaries, specular tip flicker).  Ground-truth key_frame/speed stay
+    exact; only the observable length series gets noisy.  The default 0 keeps
+    the r2/r3 protocol's noiseless series (the regime where smoothing the
+    length series can only add bias — see docs/e2e_accuracy.md ablation)."""
     key_frame = key_frame if key_frame is not None else int(rng.integers(12, 28))
     speed_mm_s = speed_mm_s if speed_mm_s is not None else float(rng.uniform(1.5, 4.5))
     # the 2 mm-drop end frame must exist inside the clip (slow insertions need
@@ -73,6 +81,8 @@ def make_puncture_video(rng, n_frames=64, fps=30.0, key_frame=None, speed_mm_s=N
             vis = L0
         else:
             vis = max(L0 - speed_mm_s * PX_PER_MM * (t - key_frame) / fps, 8.0)
+        if tip_noise_px:
+            vis = float(np.clip(vis + rng.normal(0, tip_noise_px), 6.0, L0 + 4.0))
         jx = int(rng.integers(-1, 2))
         x1, x2 = cx - wpx // 2 + jx, cx + wpx // 2 + jx
         y_top = int(round(SKIN_Y - vis))
@@ -323,6 +333,7 @@ def main():
     print(json.dumps({
         "metric": "E2E synthetic speed protocol",
         "mean_rel_err": mean_err,
+        "max_rel_err": float(np.max(errs)) if errs else None,
         "videos_with_estimate": detected,
         "videos_total": len(rows),
         "box_map50": round(box_map["map50"], 4),

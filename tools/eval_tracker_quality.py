@@ -232,8 +232,24 @@ def main():
                     "long-term tier); writes docs/tracker_quality_serving.md")
     ap.add_argument("--serve_height", type=int, default=240)
     ap.add_argument("--serve_width", type=int, default=432)
-    ap.add_argument("--serve_frames", type=int, default=64)
+    ap.add_argument("--serve_frames", type=int, default=128)
     ap.add_argument("--serve_clips", type=int, default=2)
+    ap.add_argument("--detector", default=None,
+                    help="REAL trained detector for the serving protocol: an "
+                    "orbax checkpoint dir (yolo_cli train output) or msgpack "
+                    "(VERDICT r3 item 4 — detector-in-the-loop rows)")
+    ap.add_argument("--det_arch", default="yolo10s-seg")
+    ap.add_argument("--det_imgsz", type=int, default=640)
+    ap.add_argument("--det_conf", type=float, default=0.5,
+                    help="detection operating point for the real-detector "
+                    "protocol (auto_segment's hardcoded 0.9 assumes the "
+                    "reference checkpoint's confidence scale)")
+    ap.add_argument("--serve_size", type=int, default=640,
+                    help="real-detector protocol clip geometry (square)")
+    ap.add_argument("--serve_tracker_size", type=int, default=480)
+    ap.add_argument("--serve_long_frames", type=int, default=400)
+    ap.add_argument("--serve_batched", action="store_true",
+                    help="drive process_video_batched instead of per-frame")
     ap.add_argument("--weights", default=os.path.join(
         REPO, "resources", "weights", "tracker_propagation.msgpack"))
     ap.add_argument("--shared-weights", default=os.path.join(
@@ -244,7 +260,7 @@ def main():
         # CPU-smoke scale (the r1-r3 protocol geometry)
         args.height, args.width, args.frames, args.clips = 96, 160, 10, 2
     if args.serving:
-        return serving_eval(args)
+        return serving_eval_real(args) if args.detector else serving_eval(args)
 
     from yolo_puncture_tpu.track.core import TrackerCore
     from yolo_puncture_tpu.track.train import make_yolo_pyramid_fn, pyramid_channels_for
@@ -366,12 +382,308 @@ def main():
 
 
 # ---------------------------------------------------------------------------
-# Serving-scale protocol (VERDICT r2 item 3): quarter-serving geometry,
+# Serving-scale protocol (VERDICT r2 item 3 / r3 item 4): serving geometry,
 # long clips, driven through the REAL serving entry points — the
 # apps/track_video scheduler (auto_segment → add_to_temporary_buffer →
 # vote_in_temporary_buffer → incorporate_detection → step/step_batch) with
-# semionline voting and the long-term tier engaged.
+# semionline voting and the long-term tier engaged.  With ``--detector`` the
+# detections come from the REAL trained YOLO (orbax dir or msgpack) on
+# 640² synth640-style clips; without it, the r3 ground-truth stub remains.
 # ---------------------------------------------------------------------------
+
+
+def make_serving_video(rng, T, size=640, n_needles=1, occluder=False,
+                       disappear_at=None):
+    """Animated synth640-style scene (tools/make_synth_dataset.make_frame
+    distribution: textured background, skin band, bright rotated needle
+    shafts) — the distribution the serving-scale detector trains on, so a
+    REAL trained yolo10s-seg can drive the scheduler (VERDICT r3 item 4).
+
+    Needles insert over time (shaft shrinks after a per-needle key frame) and
+    drift laterally.  ``occluder=True`` sweeps a dark ellipse across the
+    scene (natural missed-detection stretches: the detector cannot see the
+    occluded shaft).  ``disappear_at=t``: needle 0 is fully withdrawn from
+    frame t on (its GT mask goes empty — exercises the
+    max_missed_detection_count deletion path).
+
+    Returns (frames BGR uint8 (T, size, size, 3), masks (T, K, size, size)).
+    """
+    import cv2
+
+    bg = rng.integers(55, 125, size=(size, size, 3), dtype=np.uint8)
+    bg = cv2.GaussianBlur(bg, (0, 0), 3)
+    skin_y = int(size * rng.uniform(0.62, 0.78))
+    skin = np.zeros((size - skin_y, size, 3), np.uint8)
+    skin[..., :] = (
+        int(rng.uniform(120, 150)), int(rng.uniform(130, 165)),
+        int(rng.uniform(170, 205)),
+    )
+    bg = bg.copy()
+    bg[skin_y:] = cv2.addWeighted(bg[skin_y:], 0.25, skin, 0.75, 0)
+
+    needles = []
+    for k in range(n_needles):
+        L0 = size * rng.uniform(0.22, 0.38)
+        needles.append(dict(
+            L0=L0,
+            W=size * rng.uniform(0.016, 0.028),
+            cx=size * ((0.5 + k) / n_needles * 0.6 + rng.uniform(0.08, 0.25)),
+            theta=rng.uniform(np.radians(55), np.radians(125)),
+            key=int(rng.integers(max(T // 6, 4), max(T // 3, 8))),
+            # insertion: shrink to ~35-60% of L0 by clip end
+            rate=L0 * rng.uniform(0.4, 0.65) / T,
+            drift=rng.uniform(-0.25, 0.25),
+            color=tuple(int(v) for v in rng.integers(215, 250, 3)),
+        ))
+    if occluder:
+        occ = dict(cy=skin_y * rng.uniform(0.55, 0.9),
+                   ry=size * rng.uniform(0.10, 0.16),
+                   rx=size * rng.uniform(0.08, 0.12))
+
+    frames = np.zeros((T, size, size, 3), np.uint8)
+    masks = np.zeros((T, n_needles, size, size), np.float32)
+    for t in range(T):
+        img = bg.copy()
+        gain = rng.uniform(0.95, 1.05)
+        img = np.clip(img.astype(np.float32) * gain, 0, 255).astype(np.uint8)
+        for k, nd in enumerate(needles):
+            if disappear_at is not None and k == 0 and t >= disappear_at:
+                continue
+            L = max(nd["L0"] - nd["rate"] * max(t - nd["key"], 0),
+                    0.08 * size)
+            cx = nd["cx"] + nd["drift"] * t
+            cy = skin_y - L * 0.35
+            d = np.array([np.cos(nd["theta"]), np.sin(nd["theta"])])
+            nrm = np.array([-d[1], d[0]])
+            c = np.array([cx, cy])
+            corners = np.stack([
+                c - d * L / 2 - nrm * nd["W"] / 2,
+                c - d * L / 2 + nrm * nd["W"] / 2,
+                c + d * L / 2 + nrm * nd["W"] / 2,
+                c + d * L / 2 - nrm * nd["W"] / 2,
+            ])
+            corners = np.clip(corners, 2, size - 3).astype(np.int32)
+            cv2.fillPoly(img, [corners], nd["color"])
+            m = np.zeros((size, size), np.uint8)
+            cv2.fillPoly(m, [corners], 1)
+            masks[t, k] = m
+        if occluder:
+            # sweep left→right, on screen roughly the middle half of the clip
+            ocx = int(size * (-0.25 + 1.5 * t / max(T - 1, 1)))
+            cv2.ellipse(img, (ocx, int(occ["cy"])),
+                        (int(occ["rx"]), int(occ["ry"])), 0, 0, 360,
+                        (25, 20, 30), -1)
+            yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+            om = (((xx - ocx) / occ["rx"]) ** 2
+                  + ((yy - occ["cy"]) / occ["ry"]) ** 2) < 1.0
+            masks[t][:, om] = 0
+        frames[t] = cv2.GaussianBlur(img, (0, 0), 0.6)
+    return frames, masks
+
+
+class _ConfAdapter:
+    """Wrap a YOLO predictor, overriding the conf the scheduler hardcodes.
+
+    auto_segment calls ``predict(..., conf=0.9)`` (the reference's fixed
+    operating point, yolo_with_deva.py:59); a freshly-trained detector's
+    confidence scale need not match the reference checkpoint's, so the eval
+    pins the operating point explicitly and records it."""
+
+    def __init__(self, det, conf, imgsz):
+        self.det, self.conf, self.imgsz = det, conf, imgsz
+        self.calls = 0
+        self.hits = 0
+
+    def predict(self, image, **kw):
+        kw["conf"] = self.conf
+        kw["imgsz"] = self.imgsz
+        self.calls += 1
+        out = self.det.predict(image, **kw)
+        if out[0].masks is not None and len(out[0].masks) > 0:
+            self.hits += 1
+        return out
+
+
+def _load_detector(path, arch, nc=1):
+    """YOLO from an orbax checkpoint dir (yolo_cli train output) or msgpack."""
+    from yolo_puncture_tpu.predict import YOLO
+
+    if os.path.isdir(path):
+        from yolo_puncture_tpu.train import Trainer
+
+        det = YOLO(arch, nc=nc)
+        restored = Trainer.load_checkpoint(path)
+        det.variables = {
+            "params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {}),
+        }
+        return det
+    return YOLO(path if path.endswith(".msgpack") else arch, nc=nc)
+
+
+def _match_ids(pred_by_t, masks, K, T):
+    """Fixed GT-object → predicted-id assignment: greedy by total IoU over the
+    clip (the scheduler's ids are allocation-order, not GT-order)."""
+    totals = {}
+    for t in range(1, T):
+        ids = pred_by_t.get(t)
+        if ids is None:
+            continue
+        for pid in np.unique(ids):
+            if pid == 0:
+                continue
+            for k in range(K):
+                gt = masks[t, k] > 0.5
+                if not gt.any():
+                    continue
+                totals[(k, pid)] = totals.get((k, pid), 0.0) + _iou(ids == pid, gt)
+    assigned, used = {}, set()
+    for (k, pid), s in sorted(totals.items(), key=lambda kv: -kv[1]):
+        if k in assigned or pid in used:
+            continue
+        assigned[k] = pid
+        used.add(pid)
+    return assigned
+
+
+def serving_eval_real(args):
+    """Serving-scale protocol with the REAL trained detector in the loop."""
+    import jax.numpy as jnp
+
+    from apps.track_video import process_frame, process_video_batched
+    from yolo_puncture_tpu.track.core import TrackerCore
+
+    S, T = args.serve_size, args.serve_frames
+    det = _load_detector(args.detector, args.det_arch)
+    w = args.weights if os.path.exists(args.weights) else None
+    rng = np.random.default_rng(args.seed + 3)
+
+    # clip mix: single, dual, occluded (missed-detection stretches), a
+    # disappearing object (deletion path), and one LONG clip at the
+    # reference's default memory knobs where the long-term enablement formula
+    # (yolo_with_deva.py:242-245) turns the tier on NATURALLY.
+    specs = [
+        ("single-1", dict(n_needles=1), {}),
+        ("single-2", dict(n_needles=1), {}),
+        ("dual-1", dict(n_needles=2), {}),
+        ("dual-2", dict(n_needles=2), {}),
+        ("occluded", dict(n_needles=1, occluder=True), {}),
+        ("disappear", dict(n_needles=2, disappear_at=T // 2),
+         dict(max_missed_detection_count=3)),
+        ("long-natural-LT", dict(n_needles=1), dict(
+            frames=args.serve_long_frames, max_mid_term_frames=10,
+            min_mid_term_frames=5, num_prototypes=128,
+            max_long_term_elements=10000)),
+    ]
+
+    rows = []
+    for name, clip_kw, over in specs:
+        Tc = over.pop("frames", T)
+        frames, masks = make_serving_video(rng, Tc, size=S, **clip_kw)
+        K = masks.shape[1]
+        cfg = dict(
+            temporal_setting="semionline", num_voting_frames=3,
+            detection_every=10, size=args.serve_tracker_size,
+            suppress_small_objects=True, mem_every=4,
+            max_mid_term_frames=8, min_mid_term_frames=5,
+            num_prototypes=64, max_long_term_elements=256,
+            exact_windows=True, det_imgsz=args.det_imgsz,
+        )
+        cfg.update(over)
+        # natural long-term enablement — the reference formula, not a force
+        formula_on = (
+            Tc / (cfg["max_mid_term_frames"] - cfg["min_mid_term_frames"])
+            * cfg["num_prototypes"]
+        ) >= cfg["max_long_term_elements"]
+        cfg["enable_long_term"] = bool(formula_on)
+        from yolo_puncture_tpu.track import reference_tracker_geometry
+
+        th, tw = reference_tracker_geometry((S, S), cfg["size"])
+        core = TrackerCore(
+            config=cfg, image_size=(th, tw), max_objects=4, mem_frames=8,
+            variables=w, dtype=jnp.float32,
+        )
+        adapter = _ConfAdapter(det, args.det_conf, args.det_imgsz)
+        saver = _CaptureSaver()
+        if args.serve_batched:
+            reader = ((frames[t], f"f{t:05d}.jpg") for t in range(Tc))
+            process_video_batched(core, adapter, reader, saver)
+        else:
+            for t in range(Tc):
+                process_frame(core, adapter, f"f{t:05d}.jpg", saver, t,
+                              image_np=frames[t])
+        pred_by_t = {t: saver.by_name.get(f"f{t:05d}.jpg") for t in range(Tc)}
+        assigned = _match_ids(pred_by_t, masks, K, Tc)
+        ious, ghost = [], []
+        for t in range(1, Tc):
+            ids = pred_by_t.get(t)
+            if ids is None:
+                continue
+            for k in range(K):
+                gt = masks[t, k] > 0.5
+                pid = assigned.get(k)
+                if not gt.any():
+                    if name == "disappear" and k == 0 and pid is not None:
+                        ghost.append(float((ids == pid).sum() >= 100))
+                    continue
+                if pid is None:
+                    ious.append(0.0)
+                    continue
+                v = _iou(ids == pid, gt)
+                if not np.isnan(v):
+                    ious.append(v)
+        row = dict(
+            clip=name, frames=Tc, objects=K,
+            iou=float(np.mean(ious)) if ious else 0.0,
+            det_recall=adapter.hits / max(adapter.calls, 1),
+            long_term_on=bool(formula_on),
+            lt_engaged=bool(np.asarray(core.memory.lt_valid).any())
+            if cfg["enable_long_term"] else False,
+        )
+        if name == "disappear":
+            row["ghost_rate"] = float(np.mean(ghost)) if ghost else 0.0
+            row["slots_after"] = len(core.object_manager.slot_to_info)
+        rows.append(row)
+        print(row, flush=True)
+
+    out = os.path.join(REPO, "docs", "tracker_quality_serving.md")
+    with open(out, "w") as f:
+        f.write(
+            "# Tracker quality at serving scale — REAL detector in the loop\n\n"
+            f"Protocol (r4, VERDICT r3 item 4): synth640-style clips at "
+            f"{S}² driven through the apps/track_video scheduler "
+            "(auto_segment → semionline voting → incorporate_detection "
+            f"every 10 frames → step propagation) with the REAL trained "
+            f"detector `{args.detector}` (conf {args.det_conf}, the eval's "
+            "pinned operating point — auto_segment hardcodes the reference's "
+            "0.9, a confidence scale a fresh checkpoint need not match) and "
+            f"tracker checkpoint `{os.path.relpath(args.weights, REPO)}` at "
+            f"{args.serve_tracker_size} min-side geometry.  Mix: single/dual "
+            "instance, an occluder clip (missed-detection stretches), a "
+            "disappearing object (max_missed_detection_count=3 deletion), and "
+            f"a {args.serve_long_frames}-frame clip at the reference's default "
+            "memory knobs where the long-term formula enables the tier "
+            "NATURALLY.  Mean per-frame per-object IoU vs GT.\n"
+            "Generated by `tools/eval_tracker_quality.py --serving "
+            "--detector …`.\n\n"
+            "| clip | frames | objects | mean IoU | det recall | LT on "
+            "(formula) | LT engaged | notes |\n|---|---|---|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            notes = ""
+            if "ghost_rate" in r:
+                notes = (f"ghost rate {r['ghost_rate']:.2f}, "
+                         f"{r['slots_after']} slots live after deletion")
+            f.write(
+                f"| {r['clip']} | {r['frames']} | {r['objects']} | "
+                f"{r['iou']:.3f} | {r['det_recall']:.2f} | "
+                f"{'yes' if r['long_term_on'] else 'no'} | "
+                f"{'yes' if r['lt_engaged'] else 'no'} | {notes} |\n"
+            )
+    print(json.dumps({
+        "metric": "tracker serving-scale IoU (real detector, serving API)",
+        "rows": rows,
+    }))
 
 
 class _GTDetector:

@@ -61,6 +61,7 @@ def task_aligned_assign(
     alpha: float = 0.5,
     beta: float = 6.0,
     eps: float = 1e-9,
+    conf_floor: float = 1e-3,
 ) -> Dict[str, jax.Array]:
     """Returns target_labels (B,A), target_bboxes (B,A,4), target_scores (B,A,nc),
     fg_mask (B,A), target_gt_idx (B,A)."""
@@ -85,7 +86,7 @@ def task_aligned_assign(
         # a cold-start deadlock (no positive → BCE keeps pushing down).
         # Flooring the factor keeps the metric IoU-ordered and the GT alive
         # regardless of the current confidence; inert once conf ≫ 1e-3.
-        metric = (jnp.maximum(cls_score, 1e-3) ** alpha) * (overlaps ** beta)
+        metric = (jnp.maximum(cls_score, conf_floor) ** alpha) * (overlaps ** beta)
         valid = in_gts & gmask[:, None]
         metric = jnp.where(valid, metric, 0.0)
 

@@ -132,6 +132,7 @@ class Trainer:
             )
             metrics = {k: v for k, v in losses.items()}
             metrics["lr"] = self.schedule(state.step)
+            metrics["grad_norm"] = optax.global_norm(grads)
             return new_state, metrics
 
         # with a mesh, sharding follows the inputs (train_step device_puts the
