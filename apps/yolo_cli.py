@@ -68,6 +68,7 @@ def cmd_train(kv):
         total_steps=epochs * steps_per_epoch,
         warmup_steps=min(3 * steps_per_epoch, 1000),
         mesh=mesh,
+        clip_norm=float(kv.get("clip", 0.0)),
     )
     state = trainer.fit(
         ds, epochs=epochs, batch_size=batch, ckpt_dir=ckpt,

@@ -42,7 +42,36 @@ def main():
 
     root = "/tmp/eval_speed_videos"
     rng = np.random.default_rng(0)
-    train_videos = [make_puncture_video(rng, n_frames=64) for _ in range(4)]
+    train_videos = [make_puncture_video(rng, n_frames=64) for _ in range(10)]
+
+    # the harness reads mp4-compressed video while r3 trained on raw frames;
+    # mp4v blocking artifacts at 128² flipped the insertion classifier to 1
+    # within ~4 frames on clean clips (measured r4).  Train on frames that
+    # went through the same codec the harness will decode.
+    def _codec_roundtrip(frames, fps=30.0):
+        import tempfile
+
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as tf:
+            vp = tf.name
+        wtr = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        for f in frames:
+            wtr.write(f)
+        wtr.release()
+        cap = cv2.VideoCapture(vp)
+        out = []
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            out.append(fr)
+        cap.release()
+        os.unlink(vp)
+        return out if len(out) == len(frames) else frames
+
+    train_videos = [(_codec_roundtrip(f), gt) for f, gt in train_videos]
 
     # identical ground truth (key frame, speed) across noise levels — the
     # ablation's only variable is the observable length-series noise

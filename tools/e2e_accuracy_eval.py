@@ -172,7 +172,12 @@ def train_classifier(train_videos, crop_size, epochs=3, seed=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--train_videos", type=int, default=4)
+    # r4: 4 → 10 train videos.  With 4, the detector memorized a canonical
+    # needle geometry instead of localizing the top edge (predicted box top
+    # moved 0.8 px while GT moved 15 px across an insertion), which made the
+    # measured length series near-constant — the root cause of r3's
+    # systematic speed underestimates (VERDICT r3 items 6/9).
+    ap.add_argument("--train_videos", type=int, default=10)
     ap.add_argument("--eval_videos", type=int, default=6)
     ap.add_argument("--det_steps", type=int, default=500)
     ap.add_argument("--cls_epochs", type=int, default=3)

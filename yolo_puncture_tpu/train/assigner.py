@@ -80,13 +80,11 @@ def task_aligned_assign(
         )  # (M, A) — scores.T is (nc, A); take per-gt class row
         overlaps = bbox_ciou(gboxes[:, None, :], boxes[None, :, :])  # (M, A)
         overlaps = jnp.clip(overlaps, 0)
-        # confidence floor: if a head's confidence collapses (the topk-1 o2o
-        # branch at 640² drove itself to ~1e-20), conf^α underflows the
-        # gt_alive gate below and the GT permanently loses ALL positives —
-        # a cold-start deadlock (no positive → BCE keeps pushing down).
-        # Flooring the factor keeps the metric IoU-ordered and the GT alive
-        # regardless of the current confidence; inert once conf ≫ 1e-3.
-        metric = (jnp.maximum(cls_score, conf_floor) ** alpha) * (overlaps ** beta)
+        # the ultralytics alignment metric, UNmodified — target soft scores
+        # derive from it below, and its per-gt normalization
+        # (metric/pos_align) is scale-invariant under a uniform confidence
+        # collapse, so the raw metric stays well-behaved even at conf ~1e-20
+        metric = (cls_score ** alpha) * (overlaps ** beta)
         valid = in_gts & gmask[:, None]
         metric = jnp.where(valid, metric, 0.0)
 
@@ -96,7 +94,17 @@ def task_aligned_assign(
         # starve the assigner)
         k = min(topk, A)
         topv, topi = jax.lax.top_k(metric, k)  # (M, k)
-        gt_alive = topv[:, :1] > eps           # (M, 1)
+        # confidence floor — GATE ONLY: if a head's confidence collapses (the
+        # topk-1 o2o branch at 640² drove itself to ~1e-20 in r3), conf^α
+        # underflows this aliveness gate and the GT permanently loses ALL
+        # positives — a cold-start deadlock (no positive → BCE keeps pushing
+        # down).  The r3 fix floored the metric ITSELF, which also rescaled
+        # the target soft scores; r4 scopes the floor to the gate: aliveness
+        # is judged as if confidence were at least conf_floor, while targets
+        # keep the raw-metric normalization.  Inert once conf ≫ conf_floor.
+        gate = (jnp.maximum(cls_score, conf_floor) ** alpha) * (overlaps ** beta)
+        gate = jnp.where(valid, gate, 0.0)
+        gt_alive = jnp.max(gate, axis=1, keepdims=True) > eps  # (M, 1)
         mask_topk = jnp.zeros((M, A), bool)
         rows = jnp.arange(M)[:, None]
         mask_topk = mask_topk.at[rows, topi].set(
@@ -122,7 +130,11 @@ def task_aligned_assign(
         metric_pos = metric * keep
         pos_align = jnp.max(metric_pos, axis=1, keepdims=True)          # (M, 1)
         pos_overlap = jnp.max(jnp.where(keep, overlaps, 0.0), axis=1, keepdims=True)
-        norm = metric_pos * pos_overlap / (pos_align + eps)              # (M, A)
+        # denominator floor far below any representable metric (NOT eps=1e-9:
+        # at collapsed confidence the metric is ~1e-12-1e-22 and an additive
+        # eps would crush the normalized targets toward zero, soft-reviving
+        # the cold-start deadlock the gate floor above exists to break)
+        norm = metric_pos * pos_overlap / jnp.maximum(pos_align, 1e-30)  # (M, A)
         anchor_score = jnp.max(norm, axis=0)                             # (A,)
         t_scores = jax.nn.one_hot(t_labels, nc) * (anchor_score * fg)[:, None]
 

@@ -61,6 +61,7 @@ class Trainer:
         ema_decay: float = 0.9999,
         use_ema: bool = True,
         seed: int = 0,
+        clip_norm: float = 0.0,
     ):
         self.model = model
         self.nc = nc
@@ -69,6 +70,10 @@ class Trainer:
         self.mesh = mesh
         self.schedule = lr_schedule(lr0, lrf, total_steps, warmup_steps)
         self.tx = optax.chain(
+            # optional global-norm gradient clip (ultralytics relies on AMP's
+            # GradScaler for spike protection; fp32 SGD at large imgsz needs
+            # an explicit bound — the 640² b8 run diverged without one)
+            *((optax.clip_by_global_norm(clip_norm),) if clip_norm else ()),
             # ultralytics optimizer grouping: weight decay on ≥2-D kernels
             # only — BN scale/bias and conv/head biases are no-decay groups
             optax.add_decayed_weights(
