@@ -108,6 +108,17 @@ class Trainer:
         tx = self.tx
 
         def loss_fn(params, batch_stats, batch):
+            # uint8-over-the-wire: train_step ships images as uint8 and masks
+            # as uint8 (4× less host→device traffic — the remote-tunnel
+            # transport additionally never frees its per-transfer host staging
+            # buffers, so bytes shipped ≈ bytes leaked; measured 37 MB/step at
+            # 640² b8 fp32, the OOM that killed the r4 2000-step run at 128 GB
+            # RSS).  Dtypes are static at trace time, so this is free.
+            batch = dict(batch)
+            if batch["images"].dtype == jnp.uint8:
+                batch["images"] = batch["images"].astype(jnp.float32) / 255.0
+            if "gt_masks" in batch and batch["gt_masks"].dtype == jnp.uint8:
+                batch["gt_masks"] = batch["gt_masks"].astype(jnp.float32)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -145,9 +156,32 @@ class Trainer:
         self._step_fn = jax.jit(step, donate_argnums=(0,))
         return self._step_fn
 
+    @staticmethod
+    def _quantize_for_transfer(batch):
+        """Ship images/masks as uint8 (cast back inside the jitted step).
+
+        Lossless for the augmentation pipeline's output (uint8 canvases
+        normalized by /255 → every value is k/255) and for {0,1} mask
+        rasters.  Cuts host→device bytes 4× — and works around the remote
+        tunnel's transfer-buffer leak (bytes shipped ≈ host bytes leaked,
+        which OOM-killed the 2000-step 640² run at 128 GB RSS)."""
+        import numpy as np
+
+        im = batch.get("images")
+        out = None
+        if isinstance(im, np.ndarray) and im.dtype == np.float32:
+            out = dict(batch)
+            out["images"] = np.round(im * 255.0).astype(np.uint8)
+        gm = batch.get("gt_masks")
+        if isinstance(gm, np.ndarray) and gm.dtype == np.float32:
+            out = out if out is not None else dict(batch)
+            out["gt_masks"] = gm.astype(np.uint8)
+        return out if out is not None else batch
+
     def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
         if self._step_fn is None:
             self._build_step()
+        batch = self._quantize_for_transfer(batch)
         if self.mesh is not None:
             from yolo_puncture_tpu.parallel.mesh import shard_batch
 
