@@ -124,8 +124,17 @@ def train_detector(train_videos, steps, seed=0, model_name="yolo10n-seg"):
         for j, i in enumerate(idx):
             x1, y1, x2, y2 = all_boxes[i]
             boxes[j, 0] = (x1, y1, x2, y2)
-            masks[j, 0, y1 // 4 : max(y2 // 4, y1 // 4 + 1),
-                  x1 // 4 : max(x2 // 4, x1 // 4 + 1)] = 1
+            # exact polygon rasterization at /4 (cv2 fill at float corners,
+            # like SegDataset._rasterize) — the r3 integer `y//4` slicing
+            # quantized the supervised top edge to 4-px steps, a floor on the
+            # length-series fidelity the speed estimate rests on
+            import cv2
+
+            poly4 = (np.array(
+                [[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.float32) / 4.0)
+            cell = np.zeros((SIZE // 4, SIZE // 4), np.uint8)
+            cv2.fillPoly(cell, [np.round(poly4).astype(np.int32)], 1)
+            masks[j, 0] = cell
             mask_gt[j, 0] = True
         return {
             "images": imgs,
@@ -150,17 +159,41 @@ def train_detector(train_videos, steps, seed=0, model_name="yolo10n-seg"):
     return det
 
 
-def train_classifier(train_videos, crop_size, epochs=3, seed=0):
+def train_classifier(train_videos, crop_size, epochs=3, seed=0, det=None):
+    """Insert classifier on crops around the box.
+
+    ``det`` (r4): crop around the DETECTOR's predicted box instead of the GT
+    box — the reference generates its classifier dataset from YOLO
+    predictions (dev_tools/classify/cls_bbox_dataset_generate.py:48-52), and
+    training on GT boxes leaves the classifier keying on needle-in-crop
+    geometry the detector's noisier boxes at eval time don't reproduce
+    (measured r4: perfect class sequences on GT-box crops, near-random on
+    detected-box crops from the same video).  A ±4 px jittered copy per frame
+    adds box-noise robustness either way; GT box is the dropout fallback."""
     from yolo_puncture_tpu.tasks.classify import ClassifierNet
     from yolo_puncture_tpu.train.finetune import ClassifierFinetuner
     from yolo_puncture_tpu.utils.transform import crop_frame
 
+    jrng = np.random.default_rng(seed + 17)
     crops, labels = [], []
     for frames, gt in train_videos:
-        for t, (f, b) in enumerate(zip(frames, gt["boxes"])):
-            crop, _ = crop_frame(f, b, crop_size, need_padding=True)
-            crops.append(crop[..., ::-1])  # BGR→RGB as tasks/classify does
-            labels.append(int(t >= gt["key_frame"]))
+        boxes = list(gt["boxes"])
+        if det is not None:
+            for t, f in enumerate(frames):
+                r = det.predict(f, conf=0.35, imgsz=SIZE, retina_masks=False)[0]
+                if len(r.boxes):
+                    i = int(np.argmax(r.boxes.conf))
+                    boxes[t] = tuple(float(v) for v in r.boxes.xyxy[i])
+        for t, (f, b) in enumerate(zip(frames, boxes)):
+            lab = int(t >= gt["key_frame"])
+            for jit in (False, True):
+                bb = b
+                if jit:
+                    dx, dy = jrng.integers(-4, 5, size=2)
+                    bb = (b[0] + dx, b[1] + dy, b[2] + dx, b[3] + dy)
+                crop, _ = crop_frame(f, bb, crop_size, need_padding=True)
+                crops.append(crop[..., ::-1])  # BGR→RGB as tasks/classify does
+                labels.append(lab)
     crops = np.stack(crops)
     labels = np.asarray(labels, np.int32)
     net = ClassifierNet("efficientnet_b0", input_size=crop_size)
@@ -177,9 +210,15 @@ def main():
     # moved 0.8 px while GT moved 15 px across an insertion), which made the
     # measured length series near-constant — the root cause of r3's
     # systematic speed underestimates (VERDICT r3 items 6/9).
-    ap.add_argument("--train_videos", type=int, default=10)
+    # r4.2: 10 → 20 train videos and 500 → 1000 detector steps.  A saved-net
+    # probe showed the 10-video/500-step detector's measured-length-vs-GT
+    # slope is ~1.0 on train videos but 0.3-1.1 on held-out ones (the box
+    # regression under-tracks unseen needle geometries), which compressed the
+    # length series enough that the 2 mm-drop trigger never fired on 4/6
+    # eval videos.
+    ap.add_argument("--train_videos", type=int, default=20)
     ap.add_argument("--eval_videos", type=int, default=6)
-    ap.add_argument("--det_steps", type=int, default=500)
+    ap.add_argument("--det_steps", type=int, default=1000)
     ap.add_argument("--cls_epochs", type=int, default=3)
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
@@ -243,7 +282,7 @@ def main():
         print(f"saved trained detector variables → {args.save_det}", flush=True)
     crop_size = 96
     cls_net = train_classifier(train_videos, crop_size, epochs=args.cls_epochs,
-                               seed=args.seed)
+                               seed=args.seed, det=det)
     if args.save_cls:
         from flax import serialization
 
