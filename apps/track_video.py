@@ -38,6 +38,16 @@ def auto_segment(config, image_np, yolo_model, min_side, suppress_small_mask):
     output_mask = np.zeros((h, w), np.int64)
     segments_info = []
     curr_id = 1
+    # mask-level duplicate suppression: detections arrive conf-sorted; a mask
+    # whose containment (intersection / min area) vs an already-kept mask
+    # exceeds ``dedup_overlap`` is a duplicate of the same object and is
+    # dropped.  The reference has no such guard because it operates at
+    # conf=0.9 with a COCO-pretrained checkpoint whose o2o head learned
+    # duplicate suppression (yolo_with_deva.py:59); a from-scratch v10 head
+    # emits low-conf duplicates that would otherwise repaint the object under
+    # a second id (VERDICT r4 item 1).  Set dedup_overlap >= 1 to disable.
+    dedup = float(config.get("dedup_overlap", 0.6))
+    kept_masks = []
     if det.masks is not None:
         from yolo_puncture_tpu.track import ObjectInfo
 
@@ -47,7 +57,15 @@ def auto_segment(config, image_np, yolo_model, min_side, suppress_small_mask):
                 mask = cv2.resize(mask, (w, h), interpolation=cv2.INTER_LINEAR)
             if suppress_small_mask and mask.sum() < config.get("MIN_AREA_THRESHOLD", 100):
                 continue
-            output_mask[mask > 0.5] = curr_id
+            mb = mask > 0.5
+            area = mb.sum()
+            if any(
+                (mb & k).sum() / max(min(area, k.sum()), 1) > dedup
+                for k in kept_masks
+            ):
+                continue
+            kept_masks.append(mb)
+            output_mask[mb] = curr_id
             segments_info.append(
                 ObjectInfo(
                     id=curr_id,

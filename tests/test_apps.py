@@ -74,6 +74,43 @@ def test_track_video_cli(tmp_path):
     assert len(list(ann_dir.glob("*.png"))) == 6
 
 
+def test_auto_segment_dedup_overlap():
+    """Duplicate low-conf detections of the same object (the from-scratch v10
+    o2o artifact) are suppressed by mask containment before entering the
+    tracker (VERDICT r4 item 1); disjoint objects both survive."""
+    from apps.track_video import auto_segment
+
+    class _Masks:
+        def __init__(self, data):
+            self.data = data
+
+        def __len__(self):
+            return len(self.data)
+
+    class _Boxes:
+        def __init__(self, conf, cls):
+            self.conf, self.cls = conf, cls
+
+    class _Res:
+        def __init__(self, masks, conf):
+            self.masks = _Masks(masks)
+            self.boxes = _Boxes(np.asarray(conf), np.zeros(len(conf), np.int32))
+
+    h = w = 64
+    a = np.zeros((h, w), np.float32); a[10:30, 10:20] = 1
+    dup = np.zeros((h, w), np.float32); dup[11:31, 10:20] = 1  # ≈0.9 containment
+    b = np.zeros((h, w), np.float32); b[40:60, 40:60] = 1      # disjoint
+
+    class _Det:
+        def predict(self, image, **kw):
+            return [_Res([a, dup, b], [0.9, 0.4, 0.8])]
+
+    mask, infos = auto_segment({}, np.zeros((h, w, 3), np.uint8), _Det(), 0, False)
+    assert len(infos) == 2                      # duplicate dropped
+    assert {i.score for i in infos} == {0.9, 0.8}
+    assert set(np.unique(mask)) == {0, 1, 2}
+
+
 @pytest.mark.parametrize("setting", ["online", "semionline"])
 def test_track_video_cli_batch_propagation(tmp_path, setting):
     """--batch_propagation (step_batch windowed fast path) keeps the output

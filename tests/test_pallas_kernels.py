@@ -85,3 +85,39 @@ def test_memory_readout_pallas_padded_shapes():
     want = np.asarray(memory_readout_dense(q, k, v, valid))
     assert got.shape == (No, Q, Cv)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_decode_tail_pallas_matches_exact():
+    """Fused Pallas decode tail (interpret mode on CPU) reproduces the exact
+    MaskDecoder.decode_tail within fp tolerance (same reassociated algebra as
+    decode_tail_subpix — tests/test_track.py::test_subpix_tail_matches_exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_puncture_tpu.ops.pallas.decode_tail import decode_tail_pallas
+    from yolo_puncture_tpu.track.core import TrackerCore
+    from yolo_puncture_tpu.track.network import PropagationNetwork
+
+    core = TrackerCore(image_size=(32, 64), max_objects=2, mem_frames=4)
+    V = core.variables
+    rng = np.random.default_rng(5)
+    N, No, C = 2, core.max_objects, 128
+    hidden = jnp.asarray(
+        rng.standard_normal((N, No, core.h16, core.w16, C)), jnp.float32
+    )
+    f8p = jnp.asarray(
+        rng.standard_normal((N, 2 * core.h16, 2 * core.w16, 64)), jnp.float32
+    )
+    f4p = jnp.asarray(
+        rng.standard_normal((N, 4 * core.h16, 4 * core.w16, 64)), jnp.float32
+    )
+
+    def tail(h, f8, f4):
+        return core.net.apply(V, h, f8, f4, method=PropagationNetwork.decode_tail)
+
+    exact = np.asarray(jax.vmap(tail)(hidden, f8p, f4p))
+    got = np.asarray(
+        decode_tail_pallas(V, hidden, f8p, f4p, dtype=jnp.float32, interpret=True)
+    )
+    assert got.shape == exact.shape
+    np.testing.assert_allclose(got, exact, rtol=2e-4, atol=2e-4)

@@ -139,3 +139,24 @@ def test_seg_dataset_roundtrip(tmp_path):
     assert item["gt_masks"][0].sum() > 0
     batches = list(ds.batches(1, shuffle=False))
     assert batches[0]["images"].shape == (1, 64, 64, 3)
+
+
+def test_quantize_for_transfer_guards_range():
+    """uint8-over-the-wire quantization: in-range [0,1] floats round to the
+    /255 grid; out-of-range (standardized) images ship unquantized instead of
+    silently wrapping; masks round rather than truncate (ADVICE r4)."""
+    from yolo_puncture_tpu.train.trainer import Trainer
+
+    grid = (np.arange(256, dtype=np.float32) / 255.0).reshape(16, 16)
+    out = Trainer._quantize_for_transfer({"images": grid})
+    assert out["images"].dtype == np.uint8
+    np.testing.assert_array_equal(out["images"], np.arange(256).reshape(16, 16))
+
+    standardized = grid * 4.0 - 2.0  # values in [-2, 2]
+    out = Trainer._quantize_for_transfer({"images": standardized})
+    assert out["images"].dtype == np.float32  # shipped as-is, no wrap
+
+    masks = np.array([[0.0, 0.999, 1.0, 0.001]], np.float32)
+    out = Trainer._quantize_for_transfer({"gt_masks": masks})
+    assert out["gt_masks"].dtype == np.uint8
+    np.testing.assert_array_equal(out["gt_masks"], [[0, 1, 1, 0]])

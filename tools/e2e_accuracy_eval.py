@@ -124,16 +124,21 @@ def train_detector(train_videos, steps, seed=0, model_name="yolo10n-seg"):
         for j, i in enumerate(idx):
             x1, y1, x2, y2 = all_boxes[i]
             boxes[j, 0] = (x1, y1, x2, y2)
-            # exact polygon rasterization at /4 (cv2 fill at float corners,
-            # like SegDataset._rasterize) — the r3 integer `y//4` slicing
-            # quantized the supervised top edge to 4-px steps, a floor on the
-            # length-series fidelity the speed estimate rests on
+            # sub-cell polygon rasterization at /4: cv2.fillPoly's fixed-point
+            # `shift` keeps 1/16-cell corner precision (the r3 integer `y//4`
+            # slicing floored the supervised top edge to whole 4-px cells, a
+            # floor on the length-series fidelity the speed estimate rests on;
+            # plain np.round kept a residual whole-cell quantization — ADVICE r4)
             import cv2
 
+            SHIFT = 4
             poly4 = (np.array(
                 [[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.float32) / 4.0)
             cell = np.zeros((SIZE // 4, SIZE // 4), np.uint8)
-            cv2.fillPoly(cell, [np.round(poly4).astype(np.int32)], 1)
+            cv2.fillPoly(
+                cell, [np.round(poly4 * (1 << SHIFT)).astype(np.int32)], 1,
+                shift=SHIFT,
+            )
             masks[j, 0] = cell
             mask_gt[j, 0] = True
         return {

@@ -244,6 +244,9 @@ def main():
                     help="detection operating point for the real-detector "
                     "protocol (auto_segment's hardcoded 0.9 assumes the "
                     "reference checkpoint's confidence scale)")
+    ap.add_argument("--det_ema", action="store_true",
+                    help="use the checkpoint's EMA params (yolo_cli val "
+                    "use_ema=true — the better-mAP variant, bench_matrix_r4)")
     ap.add_argument("--serve_size", type=int, default=640,
                     help="real-detector protocol clip geometry (square)")
     ap.add_argument("--serve_tracker_size", type=int, default=480)
@@ -504,7 +507,7 @@ class _ConfAdapter:
         return out
 
 
-def _load_detector(path, arch, nc=1):
+def _load_detector(path, arch, nc=1, use_ema=False):
     """YOLO from an orbax checkpoint dir (yolo_cli train output) or msgpack."""
     from yolo_puncture_tpu.predict import YOLO
 
@@ -513,8 +516,11 @@ def _load_detector(path, arch, nc=1):
 
         det = YOLO(arch, nc=nc)
         restored = Trainer.load_checkpoint(path)
+        params = restored["params"]
+        if use_ema and restored.get("ema_params") is not None:
+            params = restored["ema_params"]
         det.variables = {
-            "params": restored["params"],
+            "params": params,
             "batch_stats": restored.get("batch_stats", {}),
         }
         return det
@@ -554,7 +560,7 @@ def serving_eval_real(args):
     from yolo_puncture_tpu.track.core import TrackerCore
 
     S, T = args.serve_size, args.serve_frames
-    det = _load_detector(args.detector, args.det_arch)
+    det = _load_detector(args.detector, args.det_arch, use_ema=args.det_ema)
     w = args.weights if os.path.exists(args.weights) else None
     rng = np.random.default_rng(args.seed + 3)
 

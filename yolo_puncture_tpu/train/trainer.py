@@ -162,20 +162,35 @@ class Trainer:
 
         Lossless for the augmentation pipeline's output (uint8 canvases
         normalized by /255 → every value is k/255) and for {0,1} mask
-        rasters.  Cuts host→device bytes 4× — and works around the remote
-        tunnel's transfer-buffer leak (bytes shipped ≈ host bytes leaked,
-        which OOM-killed the 2000-step 640² run at 128 GB RSS)."""
+        rasters; ≤1/510 rounding error for arbitrary [0,1] floats.  Images
+        with values OUTSIDE [0,1] (e.g. standardized inputs) are shipped
+        unquantized — blind round-to-uint8 would wrap negatives silently.
+        Cuts host→device bytes 4× — and works around the remote tunnel's
+        transfer-buffer leak (bytes shipped ≈ host bytes leaked, which
+        OOM-killed the 2000-step 640² run at 128 GB RSS)."""
         import numpy as np
 
         im = batch.get("images")
         out = None
-        if isinstance(im, np.ndarray) and im.dtype == np.float32:
+        if (
+            isinstance(im, np.ndarray)
+            and im.dtype == np.float32
+            and im.size
+            and 0.0 <= im.min()
+            and im.max() <= 1.0
+        ):
             out = dict(batch)
             out["images"] = np.round(im * 255.0).astype(np.uint8)
         gm = batch.get("gt_masks")
-        if isinstance(gm, np.ndarray) and gm.dtype == np.float32:
+        if (
+            isinstance(gm, np.ndarray)
+            and gm.dtype == np.float32
+            and gm.size
+            and 0.0 <= gm.min()
+            and gm.max() <= 1.0
+        ):
             out = out if out is not None else dict(batch)
-            out["gt_masks"] = gm.astype(np.uint8)
+            out["gt_masks"] = np.round(gm).astype(np.uint8)
         return out if out is not None else batch
 
     def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
