@@ -65,6 +65,9 @@ def yolo_inference(
         return full if os.path.exists(full) else p
 
     model = YOLO(wpath(yolo_model_id), nc=1)
+    # calibration sidecar (yolo_cli calibrate): the UI's conf slider default
+    # 0.9 (reference app.py:244) then reads on the calibrated P(TP) scale
+    model.load_calibration(os.path.dirname(wpath(yolo_model_id)) or ".")
 
     if image is not None:
         results = model.predict(source=image, conf=yolo_conf_threshold, retina_masks=True, imgsz=imgsz)

@@ -28,6 +28,9 @@ def build_pipeline(yolo_model: str, classify_model: str, device_batch: int, imgs
     from yolo_puncture_tpu.tasks import ClassifierNet
 
     det = YOLO(yolo_model, nc=1, dtype=jnp.bfloat16)
+    # calibration sidecar (yolo_cli calibrate): the batch CLI's conf=0.35
+    # default (reference auto_speed_calc.py:152) reads calibrated when present
+    det.load_calibration(os.path.dirname(yolo_model) or ".")
     cls = ClassifierNet(
         "efficientnet_b3",
         checkpoint=classify_model if os.path.exists(classify_model) else None,

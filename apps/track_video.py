@@ -306,6 +306,10 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.amp else jnp.float32
     yolo_model = YOLO(args.model, nc=1, dtype=dtype)
+    # Platt calibration sidecar (yolo_cli calibrate) next to the weights: when
+    # present, auto_segment's hardcoded conf=0.9 (the reference operating
+    # point, yolo_with_deva.py:59) sits on the calibrated scale
+    yolo_model.load_calibration(os.path.dirname(args.model) or ".")
     # tracker input geometry: min side = size at source aspect, /16-padded —
     # same helper the bench uses (round-to-16 here once disagreed with it:
     # 480x848 vs the reference 480x864)

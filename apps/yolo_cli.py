@@ -147,6 +147,101 @@ def cmd_val(kv):
     return box_m
 
 
+def cmd_calibrate(kv):
+    """Fit Platt confidence calibration on the val split; write
+    calibration.json into the checkpoint dir (predictor.load_calibration).
+
+    Reported conf becomes ≈ P(detection is a TP | raw score), so the
+    reference's fixed operating points — conf=0.9 in the UI
+    (yolo_seg/app.py:244) and 0.35 in the batch CLI
+    (dev_tools/auto_speed_calc.py:152) — sit at sane raw thresholds for a
+    from-scratch checkpoint whose confidence scale differs from the
+    reference's COCO-pretrained fine-tune.
+
+        python apps/yolo_cli.py calibrate data=... model=runs/x/step_N [use_ema=true]
+    """
+    import json
+
+    import numpy as np
+
+    from yolo_puncture_tpu.predict import YOLO
+    from yolo_puncture_tpu.train import Trainer
+    from yolo_puncture_tpu.train.data import SegDataset
+
+    data = kv.get("data", "datasets/needle")
+    model_path = kv["model"]
+    imgsz = int(kv.get("imgsz", 640))
+    nc = int(kv.get("nc", 1))
+    det = YOLO(kv.get("arch", "yolo10s-seg"), nc=nc)
+    restored = Trainer.load_checkpoint(model_path)
+    use_ema = kv.get("use_ema", "true").lower() == "true"
+    params = (restored.get("ema_params") if use_ema else None) or restored["params"]
+    det.variables = {"params": params, "batch_stats": restored.get("batch_stats", {})}
+
+    def box_iou(b, g):
+        ix = max(0.0, min(b[2], g[2]) - max(b[0], g[0]))
+        iy = max(0.0, min(b[3], g[3]) - max(b[1], g[1]))
+        inter = ix * iy
+        ua = ((b[2] - b[0]) * (b[3] - b[1]) + (g[2] - g[0]) * (g[3] - g[1]) - inter)
+        return inter / ua if ua > 0 else 0.0
+
+    ds = SegDataset(data, split="val", imgsz=imgsz, augment=False)
+    scores, labels = [], []
+    for i in range(len(ds)):
+        item = ds.load(i)
+        img_u8 = (item["images"][..., ::-1] * 255).astype(np.uint8)
+        r = det.predict(source=img_u8, conf=float(kv.get("min_conf", 0.001)),
+                        imgsz=imgsz, retina_masks=False)[0]
+        gts = item["gt_bboxes"][item["mask_gt"]]
+        conf = np.asarray(r.boxes.conf)
+        xyxy = np.asarray(r.boxes.xyxy)
+        taken = np.zeros(len(gts), bool)
+        for j in np.argsort(-conf):
+            best, bi = 0.0, -1
+            for g in range(len(gts)):
+                if not taken[g]:
+                    v = box_iou(xyxy[j], gts[g])
+                    if v > best:
+                        best, bi = v, g
+            tp = best >= 0.5
+            if tp:
+                taken[bi] = True
+            scores.append(float(conf[j]))
+            labels.append(1.0 if tp else 0.0)
+
+    s = np.clip(np.asarray(scores), 1e-6, 1 - 1e-6)
+    y = np.asarray(labels)
+    x = np.log(s / (1 - s))
+    # 1-D logistic fit by Newton (Platt scaling); prior-corrected targets as in
+    # Platt 1999 to regularize the tails
+    n1, n0 = y.sum(), len(y) - y.sum()
+    t = np.where(y > 0.5, (n1 + 1) / (n1 + 2), 1 / (n0 + 2))
+    a, b = 1.0, 0.0
+    for _ in range(50):
+        p = 1 / (1 + np.exp(-(a * x + b)))
+        g = np.array([((p - t) * x).sum(), (p - t).sum()])
+        w = p * (1 - p)
+        H = np.array([[(w * x * x).sum() + 1e-6, (w * x).sum()],
+                      [(w * x).sum(), w.sum() + 1e-6]])
+        da, db = np.linalg.solve(H, g)
+        a, b = a - da, b - db
+        if max(abs(da), abs(db)) < 1e-9:
+            break
+    a, b = float(a), float(b)
+
+    raw_at = {u: round(det._calib_to_raw(u, (a, b)), 4)
+              for u in (0.9, 0.5, 0.35, 0.25)}
+    out = {"a": a, "b": b, "n_det": len(scores), "n_images": len(ds),
+           "n_tp": int(y.sum()), "raw_threshold_at_user_conf": raw_at}
+    path = os.path.join(model_path, "calibration.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"calibration a={a:.4f} b={b:.4f} over {len(scores)} detections "
+          f"({int(y.sum())} TP) → {path}")
+    print(f"raw thresholds at user conf: {raw_at}")
+    return out
+
+
 def cmd_predict(kv):
     from yolo_puncture_tpu.predict import YOLO
 
@@ -272,7 +367,7 @@ def main(argv=None):
         return
     cmd, kv = argv[0], parse_kv(argv[1:])
     return {"train": cmd_train, "val": cmd_val, "predict": cmd_predict,
-            "export": cmd_export}[cmd](kv)
+            "calibrate": cmd_calibrate, "export": cmd_export}[cmd](kv)
 
 
 if __name__ == "__main__":

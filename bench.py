@@ -391,6 +391,9 @@ def main():
                     mem_every=int(os.environ.get("BENCH_WINDOW", "4")),
                     enable_long_term=long_term, dtype=jnp.bfloat16,
                     subpix_tail=os.environ.get("BENCH_SUBPIX", "1") != "0",
+                    # BENCH_PALLAS_TAIL=1: fused Pallas decode-tail kernel
+                    # (VERDICT r4 item 5 — the ~5% MXU profiled worst stage)
+                    pallas_tail=os.environ.get("BENCH_PALLAS_TAIL", "0") != "0",
                     pyramid_adapter=shared,
                     quantized_memory=int8_mem, flash_readout=flash,
                     # bf16 affinity (BENCH_AFF16=0 opts out): halves the

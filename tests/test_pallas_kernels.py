@@ -121,3 +121,33 @@ def test_decode_tail_pallas_matches_exact():
     )
     assert got.shape == exact.shape
     np.testing.assert_allclose(got, exact, rtol=2e-4, atol=2e-4)
+
+
+def test_core_pallas_tail_flag_dispatch():
+    """TrackerCore(pallas_tail=True)._decode_tail_batch routes through the
+    fused kernel (interpret on CPU) and matches the exact tail."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_puncture_tpu.track.core import TrackerCore
+    from yolo_puncture_tpu.track.network import PropagationNetwork
+
+    core = TrackerCore(image_size=(32, 64), max_objects=2, mem_frames=4,
+                       pallas_tail=True)
+    assert core.pallas_tail
+    V = core.variables
+    rng = np.random.default_rng(9)
+    N, No, C = 1, core.max_objects, 128
+    hidden = jnp.asarray(
+        rng.standard_normal((N, No, core.h16, core.w16, C)), jnp.float32)
+    f8p = jnp.asarray(
+        rng.standard_normal((N, 2 * core.h16, 2 * core.w16, 64)), jnp.float32)
+    f4p = jnp.asarray(
+        rng.standard_normal((N, 4 * core.h16, 4 * core.w16, 64)), jnp.float32)
+
+    def tail(h, f8, f4):
+        return core.net.apply(V, h, f8, f4, method=PropagationNetwork.decode_tail)
+
+    exact = np.asarray(jax.vmap(tail)(hidden, f8p, f4p))
+    got = np.asarray(core._decode_tail_batch(V, hidden, f8p, f4p))
+    np.testing.assert_allclose(got, exact, rtol=2e-4, atol=2e-4)

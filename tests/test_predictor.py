@@ -120,3 +120,75 @@ def test_predict_dir_and_video_sources(tiny_predictor, tmp_path):
     results = tiny_predictor.predict(source=vid, conf=0.9, imgsz=64)
     assert len(results) == 3
     assert all(r.orig_shape == (48, 64) for r in results)
+
+
+# -- Platt confidence calibration (yolo_cli calibrate / load_calibration) -----
+
+
+def test_calibration_roundtrip_and_monotone(tmp_path):
+    import json
+
+    det = YOLO("yolov8n-seg", nc=1, max_det=20, max_masks=8)
+    assert det.conf_calib is None
+    # sidecar load from a checkpoint-style dir
+    d = tmp_path / "step_100"
+    d.mkdir()
+    (d / "calibration.json").write_text(json.dumps({"a": 2.0, "b": 1.0}))
+    assert det.load_calibration(str(d)) == (2.0, 1.0)
+    # user→raw inverse is the exact inverse of the device-side forward map
+    for u in (0.9, 0.5, 0.35, 0.25, 0.05):
+        raw = det._calib_to_raw(u, det.conf_calib)
+        a, b = det.conf_calib
+        s = np.clip(raw, 1e-6, 1 - 1e-6)
+        fwd = 1 / (1 + np.exp(-(a * np.log(s / (1 - s)) + b)))
+        assert abs(fwd - u) < 1e-5
+    # monotone: calibrated ordering preserves raw ordering
+    raws = [det._calib_to_raw(u, det.conf_calib) for u in (0.1, 0.3, 0.5, 0.7, 0.9)]
+    assert raws == sorted(raws)
+    # missing sidecar leaves calibration untouched
+    assert det.load_calibration(str(tmp_path / "nope")) == (2.0, 1.0)
+    det.load_calibration(None)
+    assert det.conf_calib is None
+
+
+def test_calibrated_predict_reports_calibrated_conf():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    det = YOLO("yolov8n-seg", nc=1, max_det=20, max_masks=8)
+    base = det.predict(img, conf=0.0, imgsz=64, retina_masks=False)[0]
+    det.load_calibration((2.0, 1.0))
+    cal = det.predict(img, conf=0.0, imgsz=64, retina_masks=False)[0]
+    assert len(cal.boxes) == len(base.boxes)
+    s = np.clip(np.asarray(base.boxes.conf), 1e-6, 1 - 1e-6)
+    expect = 1 / (1 + np.exp(-(2.0 * np.log(s / (1 - s)) + 1.0)))
+    np.testing.assert_allclose(np.asarray(cal.boxes.conf), expect, atol=1e-4)
+
+
+def test_calibrate_platt_fit_recovers_separation(tmp_path):
+    """cmd_calibrate's Newton fit: high-score TPs / low-score FPs → a mapping
+    that pushes the TP cluster above 0.9 and the FP cluster below 0.5."""
+    import sys
+
+    sys.path.insert(0, "apps")
+    import numpy as np
+
+    # standalone re-run of the fit numerics on synthetic (score, label) data
+    rng = np.random.default_rng(1)
+    s = np.concatenate([rng.uniform(0.45, 0.75, 200), rng.uniform(0.05, 0.3, 200)])
+    y = np.concatenate([np.ones(200), np.zeros(200)])
+    s = np.clip(s, 1e-6, 1 - 1e-6)
+    x = np.log(s / (1 - s))
+    n1, n0 = y.sum(), len(y) - y.sum()
+    t = np.where(y > 0.5, (n1 + 1) / (n1 + 2), 1 / (n0 + 2))
+    a, b = 1.0, 0.0
+    for _ in range(50):
+        p = 1 / (1 + np.exp(-(a * x + b)))
+        g = np.array([((p - t) * x).sum(), (p - t).sum()])
+        w = p * (1 - p)
+        H = np.array([[(w * x * x).sum() + 1e-6, (w * x).sum()],
+                      [(w * x).sum(), w.sum() + 1e-6]])
+        da, db = np.linalg.solve(H, g)
+        a, b = a - da, b - db
+    p_tp = 1 / (1 + np.exp(-(a * np.log(0.6 / 0.4) + b)))
+    p_fp = 1 / (1 + np.exp(-(a * np.log(0.15 / 0.85) + b)))
+    assert p_tp > 0.9 and p_fp < 0.1

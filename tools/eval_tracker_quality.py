@@ -523,6 +523,10 @@ def _load_detector(path, arch, nc=1, use_ema=False):
             "params": params,
             "batch_stats": restored.get("batch_stats", {}),
         }
+        # Platt calibration sidecar (yolo_cli calibrate): when present,
+        # --det_conf is interpreted on the CALIBRATED scale — the reference's
+        # fixed 0.9 (yolo_with_deva.py:59) becomes a usable operating point
+        det.load_calibration(path)
         return det
     return YOLO(path if path.endswith(".msgpack") else arch, nc=nc)
 

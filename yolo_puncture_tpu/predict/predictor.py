@@ -75,6 +75,13 @@ class YOLO:
         # pipeline; validate accuracy on your fine-tuned weights before use
         self.int8_serving = bool(int8_serving)
         self._act_scales: Optional[dict] = None  # static PTQ scales (calibrate_int8)
+        # Platt confidence calibration (a, b): reported conf = σ(a·logit(s)+b)
+        # ≈ P(detection is a TP | raw score s).  Lets a from-scratch checkpoint
+        # run the reference's fixed operating points (0.9 UI — app.py:244, 0.35
+        # batch — auto_speed_calc.py:152) at sane raw thresholds.  Fit with
+        # `yolo_cli calibrate`; loaded from a checkpoint-dir sidecar
+        # calibration.json via load_calibration().
+        self.conf_calib: Optional[Tuple[float, float]] = None
         self.model = YOLOModel(version=version, scale=scale, nc=nc, task=task, dtype=dtype)
         self.variables = self._load_variables(seed)
         self._compiled: Dict[Tuple, Any] = {}
@@ -101,6 +108,40 @@ class YOLO:
         )
         self._compiled.clear()  # embed static scales on next compile
         return self._act_scales
+
+    # -- confidence calibration ---------------------------------------------
+
+    def load_calibration(self, src) -> Optional[Tuple[float, float]]:
+        """Install Platt calibration from (a, b), a dict, a calibration.json
+        path, or a checkpoint dir containing one.  Returns the installed pair
+        (None if the sidecar does not exist — raw scores then pass through)."""
+        import json
+
+        if src is None:
+            self.conf_calib = None
+        elif isinstance(src, (tuple, list)):
+            self.conf_calib = (float(src[0]), float(src[1]))
+        elif isinstance(src, dict):
+            self.conf_calib = (float(src["a"]), float(src["b"]))
+        else:
+            p = os.path.join(src, "calibration.json") if os.path.isdir(src) else str(src)
+            if not os.path.exists(p):
+                return self.conf_calib
+            with open(p) as f:
+                d = json.load(f)
+            self.conf_calib = (float(d["a"]), float(d["b"]))
+        self._compiled.clear()  # embed the constants on next compile
+        return self.conf_calib
+
+    @staticmethod
+    def _calib_to_raw(conf_user: float, calib: Tuple[float, float]) -> float:
+        """User-facing (calibrated) threshold → raw-score threshold."""
+        import math
+
+        a, b = calib
+        p = min(max(float(conf_user), 1e-6), 1.0 - 1e-6)
+        z = (math.log(p / (1.0 - p)) - b) / a
+        return 1.0 / (1.0 + math.exp(-z))
 
     # -- weights ------------------------------------------------------------
 
@@ -138,6 +179,7 @@ class YOLO:
         task = self.task
         int8 = self.int8_serving
         act_scales = self._act_scales if int8 else None
+        calib = self.conf_calib
         # static letterbox geometry for this (h0, w0, imgsz) — identical to the
         # values letterbox() derives inside `run`; shared with _paste/overflow
         r, _, pad = letterbox_params(h0, w0, imgsz)
@@ -154,9 +196,17 @@ class YOLO:
             det = select_detections(
                 out, nms_free=nms_free, conf_thres=conf, iou_thres=iou, max_det=max_det
             )
+            scores = det["scores"]
+            if calib is not None:
+                # reported conf = σ(a·logit(s)+b); the threshold in `conf` is
+                # already mapped to raw-score space host-side (_calib_to_raw)
+                a, b = calib
+                s = jnp.clip(scores, 1e-6, 1.0 - 1e-6)
+                scores = jax.nn.sigmoid(a * jnp.log(s / (1.0 - s)) + b)
+                scores = scores * det["valid"]
             result = {
                 "boxes_lb": det["boxes"],
-                "scores": det["scores"],
+                "scores": scores,
                 "classes": det["classes"],
                 "count": det["count"],
                 "valid": det["valid"],
@@ -337,6 +387,8 @@ class YOLO:
     def _predict_batch(self, batch, paths, conf, iou, imgsz, retina):
         B, h0, w0, _ = batch.shape
         run, overflow = self._pipeline((h0, w0), imgsz, retina)
+        if self.conf_calib is not None:
+            conf = self._calib_to_raw(conf, self.conf_calib)
         dev = run(
             self.variables,
             jnp.asarray(batch),

@@ -190,6 +190,7 @@ class TrackerCore:
         dtype=jnp.float32,
         seed: int = 0,
         subpix_tail: bool = False,
+        pallas_tail: bool = False,
         flash_readout: bool = False,
         pyramid_adapter: bool = False,
         pyramid_channels=(128, 256, 512),
@@ -198,6 +199,11 @@ class TrackerCore:
         affinity_bf16: bool = False,
     ):
         self.subpix_tail = bool(subpix_tail)
+        # pallas_tail: run the whole decode tail as one fused Pallas kernel per
+        # (frame, object) cell (ops/pallas/decode_tail.py) — the stride-4
+        # per-object activations never leave VMEM.  Supersedes subpix_tail
+        # when set (same packed-subpixel algebra, kernel-resident).
+        self.pallas_tail = bool(pallas_tail)
         # int8 working ring: keys/values stored s8 with per-slot scales; both
         # readout matmuls run s8xs8->s32 on the MXU (within 1e-4 propagation
         # IoU of fp on the shipped checkpoint, delta +0.00001 on 16 eval
@@ -494,6 +500,13 @@ class TrackerCore:
         With ``subpix_tail`` the tail runs as low-resolution parity-packed convs
         (network.decode_tail_subpix) — same math, ~none of the stride-4
         per-object HBM traffic."""
+        if self.pallas_tail:
+            from yolo_puncture_tpu.ops.pallas.decode_tail import decode_tail_pallas
+
+            return decode_tail_pallas(
+                variables, hidden, f8p, f4p, dtype=self.dtype,
+                interpret=jax.default_backend() == "cpu",
+            )
         if self.subpix_tail:
             from yolo_puncture_tpu.track.network import decode_tail_subpix
 

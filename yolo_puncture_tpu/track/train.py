@@ -69,6 +69,18 @@ def make_domain_randomized_clip(
     ~0.08 IoU to textured rotated-needle footage.  Returns the same
     (images (T,h,w,3) float[0,1], onehot (T,No,h,w)) contract."""
     n_obj = int(rng.integers(1, max_objects + 1))
+    # occluder sweep (r5): a dark elliptical blob crossing the scene — the
+    # holdout protocol's hand/shadow analog (tools/eval_tracker_quality.py
+    # make_realistic_clip occluder=True).  Occluded pixels belong to no
+    # object; training must teach the memory to re-acquire after the sweep.
+    occluder = rng.random() < 0.35
+    if occluder:
+        occ = dict(
+            cy=h * rng.uniform(0.3, 0.7), ry=h * rng.uniform(0.15, 0.3),
+            rx=w * rng.uniform(0.08, 0.2),
+            x0=-w * 0.2, vx=w * (0.2 + 0.8 * rng.random()) / max(T - 1, 1),
+            color=rng.uniform(0.0, 0.15, size=3),
+        )
     # background
     if rng.random() < 0.45:
         base = np.full((h + 32, w + 32, 3), rng.uniform(0.0, 0.2), np.float32)
@@ -120,6 +132,12 @@ def make_domain_randomized_clip(
             m = (np.abs(u) < lcur / 2) & (np.abs(v) < p["width"] / 2)
             img[m] = p["color"] * rng.uniform(0.95, 1.05)
             frame_ids[m] = o + 1
+        if occluder:
+            ocx = occ["x0"] + occ["vx"] * t
+            om = (((xx - ocx) / occ["rx"]) ** 2
+                  + ((yy - occ["cy"]) / occ["ry"]) ** 2) < 1.0
+            img[om] = occ["color"]
+            frame_ids[om] = 0  # occluded pixels belong to no object
         for o in range(n_obj):
             masks[t, o] = (frame_ids == o + 1).astype(np.float32)
         images[t] = np.clip(img, 0, 1)
