@@ -186,7 +186,7 @@ def cmd_calibrate(kv):
         return inter / ua if ua > 0 else 0.0
 
     ds = SegDataset(data, split="val", imgsz=imgsz, augment=False)
-    scores, labels = [], []
+    scores, labels, per_img = [], [], []
     for i in range(len(ds)):
         item = ds.load(i)
         img_u8 = (item["images"][..., ::-1] * 255).astype(np.uint8)
@@ -196,6 +196,7 @@ def cmd_calibrate(kv):
         conf = np.asarray(r.boxes.conf)
         xyxy = np.asarray(r.boxes.xyxy)
         taken = np.zeros(len(gts), bool)
+        tp_flags = np.zeros(len(conf), bool)
         for j in np.argsort(-conf):
             best, bi = 0.0, -1
             for g in range(len(gts)):
@@ -206,8 +207,23 @@ def cmd_calibrate(kv):
             tp = best >= 0.5
             if tp:
                 taken[bi] = True
+                tp_flags[j] = True
             scores.append(float(conf[j]))
             labels.append(1.0 if tp else 0.0)
+        per_img.append((conf, xyxy, tp_flags))
+
+    def dup_rate(raw_thr):
+        """Fraction of images with a duplicate — an above-threshold FP box
+        overlapping (IoU>0.5) an above-threshold TP box (the v10 o2o head's
+        from-scratch artifact, docs/bench_matrix_r4.md)."""
+        n_dup = 0
+        for conf, xyxy, tp_flags in per_img:
+            keep = conf >= raw_thr
+            tps = np.where(keep & tp_flags)[0]
+            fps = np.where(keep & ~tp_flags)[0]
+            if any(box_iou(xyxy[f], xyxy[t]) > 0.5 for f in fps for t in tps):
+                n_dup += 1
+        return n_dup / max(len(per_img), 1)
 
     s = np.clip(np.asarray(scores), 1e-6, 1 - 1e-6)
     y = np.asarray(labels)
@@ -231,14 +247,20 @@ def cmd_calibrate(kv):
 
     raw_at = {u: round(det._calib_to_raw(u, (a, b)), 4)
               for u in (0.9, 0.5, 0.35, 0.25)}
+    dups = {"raw0.25": round(dup_rate(0.25), 4),
+            "raw0.5": round(dup_rate(0.5), 4),
+            "cal0.9": round(dup_rate(raw_at[0.9]), 4),
+            "cal0.35": round(dup_rate(raw_at[0.35]), 4)}
     out = {"a": a, "b": b, "n_det": len(scores), "n_images": len(ds),
-           "n_tp": int(y.sum()), "raw_threshold_at_user_conf": raw_at}
+           "n_tp": int(y.sum()), "raw_threshold_at_user_conf": raw_at,
+           "duplicate_rate": dups}
     path = os.path.join(model_path, "calibration.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"calibration a={a:.4f} b={b:.4f} over {len(scores)} detections "
           f"({int(y.sum())} TP) → {path}")
     print(f"raw thresholds at user conf: {raw_at}")
+    print(f"duplicate rate: {dups}")
     return out
 
 
