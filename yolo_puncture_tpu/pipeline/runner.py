@@ -174,6 +174,11 @@ class VideoSpeedPipeline:
         throughput ≈ max(device stage, transport) instead of their serial sum
         (the reference's per-frame loop serializes all three,
         auto_speed_calc.py:56-84)."""
+        if getattr(self.detector, "conf_calib", None) is not None:
+            # calibration sidecar present (yolo_cli calibrate): `conf` is on
+            # the calibrated P(TP) scale — map to the raw-score threshold the
+            # fused program compares against
+            conf = self.detector._calib_to_raw(conf, self.detector.conf_calib)
         B = self.device_batch
         batch: List[np.ndarray] = []
         raw: List[Dict[str, np.ndarray]] = []
