@@ -60,11 +60,14 @@ def main(argv=None):
     )
     parser.add_argument("--window", type=int, default=4)
     parser.add_argument(
-        "--clips", default="mixed", choices=["bars", "mixed"],
+        "--clips", default="mixed", choices=["bars", "mixed", "needle"],
         help="training clip distribution: 'bars' = original axis-aligned "
         "moving bars; 'mixed' = domain-randomized (textured backgrounds, "
         "rotated shrinking needle-like objects) — closes the generalization "
-        "gap measured by tools/eval_tracker_quality.py",
+        "gap measured by tools/eval_tracker_quality.py; 'needle' = "
+        "serving-aligned thin-shaft puncture clips (70%) + domain-randomized "
+        "(30%) — the serving-geometry fix for the thin-needle propagation "
+        "collapse measured by tools/diag_serving.py (r5)",
     )
     args = parser.parse_args(argv)
 
@@ -108,6 +111,10 @@ def main(argv=None):
         from yolo_puncture_tpu.track.train import make_domain_randomized_clip
 
         clip_fn = make_domain_randomized_clip
+    elif args.clips == "needle":
+        from yolo_puncture_tpu.track.train import make_needle_serving_clip
+
+        clip_fn = make_needle_serving_clip
     trainer = PropagationTrainer(
         core, lr=args.lr, clip_len=args.clip_len, batch_size=args.batch,
         pyramid_fn=pyramid_fn, clip_fn=clip_fn,

@@ -144,6 +144,99 @@ def make_domain_randomized_clip(
     return images, masks
 
 
+def make_needle_serving_clip(
+    rng: np.random.Generator,
+    T: int = 4,
+    h: int = 64,
+    w: int = 96,
+    max_objects: int = 2,
+):
+    """Serving-aligned clips: the puncture-footage distribution the serving
+    eval drives (tools/eval_tracker_quality.make_serving_video — textured
+    background, skin band, THIN bright rotated needle shafts with insertion
+    shrink + lateral drift).
+
+    The r4 checkpoint trained on make_domain_randomized_clip whose objects
+    are 5–30% of min(h,w) wide; the serving needle is 1.4–3.0% wide — at the
+    480-px serving geometry a ~7–14 px shaft that the 256²-trained net
+    propagates at 0.28 IoU from a GT init (tools/diag_serving.py, r5).  This
+    sampler matches the serving pixel widths; 30% of draws fall back to the
+    domain-randomized distribution so the general capability is retained."""
+    if rng.random() < 0.30:
+        return make_domain_randomized_clip(rng, T, h, w, max_objects)
+    n_obj = int(rng.integers(1, min(2, max_objects) + 1))
+    size = min(h, w)
+    # textured background + skin band (make_serving_video palette, /255 scale)
+    base = rng.uniform(0.22, 0.49, size=(h + 32, w + 32, 3)).astype(np.float32)
+    k = 6
+    for ax in (0, 1):
+        c = np.cumsum(base, axis=ax)
+        lo = np.roll(c, k, axis=ax)
+        idx = [slice(None)] * 3
+        idx[ax] = slice(0, k)
+        lo[tuple(idx)] = 0
+        base = (c - lo) / k
+    skin_y = int(h * rng.uniform(0.62, 0.78))
+    skin = np.array([
+        rng.uniform(0.47, 0.59), rng.uniform(0.51, 0.65), rng.uniform(0.67, 0.80)
+    ], np.float32)  # BGR-ish warm band, as in make_serving_video
+    base[skin_y:] = 0.25 * base[skin_y:] + 0.75 * skin
+    drift_bg = (int(rng.integers(0, 3)), int(rng.integers(0, 3)))
+
+    occluder = rng.random() < 0.25
+    if occluder:
+        occ = dict(
+            cy=skin_y * rng.uniform(0.55, 0.95), ry=h * rng.uniform(0.10, 0.16),
+            rx=w * rng.uniform(0.08, 0.12),
+            x0=-w * 0.15, vx=w * (0.2 + 0.8 * rng.random()) / max(T - 1, 1),
+            color=rng.uniform(0.0, 0.15, size=3),
+        )
+
+    objs = []
+    for kk in range(n_obj):
+        L = size * rng.uniform(0.22, 0.45)
+        objs.append(dict(
+            cx=w * ((0.5 + kk) / max(n_obj, 1) * 0.6 + rng.uniform(0.08, 0.25)),
+            L=L,
+            W=max(size * rng.uniform(0.014, 0.030), 2.5),
+            theta=rng.uniform(np.radians(55), np.radians(125)),
+            key=int(rng.integers(0, max(T // 2, 1))),
+            rate=L * rng.uniform(0.0, 0.10),        # shrink px/frame after key
+            vx=rng.uniform(-2.5, 2.5),
+            color=rng.uniform(0.84, 0.98, size=3),
+        ))
+
+    images = np.zeros((T, h, w, 3), np.float32)
+    masks = np.zeros((T, max_objects, h, w), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for t in range(T):
+        oy = (drift_bg[1] * t) % 32
+        ox = (drift_bg[0] * t) % 32
+        img = base[oy:oy + h, ox:ox + w].copy()
+        img *= rng.uniform(0.95, 1.05)
+        frame_ids = np.zeros((h, w), np.int32)
+        for o, p in enumerate(objs):
+            L = max(p["L"] - p["rate"] * max(t - p["key"], 0), 0.08 * size)
+            cx = p["cx"] + p["vx"] * t
+            cy = skin_y - L * 0.35
+            ca, sa = np.cos(p["theta"]), np.sin(p["theta"])
+            u = (xx - cx) * ca + (yy - cy) * sa
+            v = -(xx - cx) * sa + (yy - cy) * ca
+            m = (np.abs(u) < L / 2) & (np.abs(v) < p["W"] / 2)
+            img[m] = p["color"] * rng.uniform(0.97, 1.03)
+            frame_ids[m] = o + 1
+        if occluder:
+            ocx = occ["x0"] + occ["vx"] * t
+            om = (((xx - ocx) / occ["rx"]) ** 2
+                  + ((yy - occ["cy"]) / occ["ry"]) ** 2) < 1.0
+            img[om] = occ["color"]
+            frame_ids[om] = 0
+        for o in range(max_objects):
+            masks[t, o] = (frame_ids == o + 1).astype(np.float32)
+        images[t] = np.clip(img, 0, 1)
+    return images, masks
+
+
 def build_windowed_propagation_loss(core: TrackerCore, window: int):
     """Like build_propagation_loss but rolls out through the WINDOWED
     propagation program (propagate_window: batched readout/decode against the
