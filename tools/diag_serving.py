@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--tracker_size", type=int, default=480)
+    ap.add_argument("--weights", default=None,
+                    help="tracker msgpack override (default: shipped ckpt)")
     args = ap.parse_args()
 
     from tools.eval_tracker_quality import (_iou, _load_detector,
@@ -72,8 +74,8 @@ def main():
 
     th, tw = reference_tracker_geometry((args.size, args.size),
                                         args.tracker_size)
-    w = os.path.join(REPO, "resources", "weights",
-                     "tracker_propagation.msgpack")
+    w = args.weights or os.path.join(REPO, "resources", "weights",
+                                     "tracker_propagation.msgpack")
     core = TrackerCore(image_size=(th, tw), max_objects=4, mem_frames=8,
                        variables=w, dtype=jnp.float32)
     import cv2
